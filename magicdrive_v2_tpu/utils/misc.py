@@ -1,0 +1,114 @@
+"""Runtime utilities (reference: magicdrivedit/utils/misc.py)."""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WARNED = set()
+
+
+def warn_once(msg: str):
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        logging.warning(msg)
+
+
+def to_jnp_dtype(name) -> jnp.dtype:
+    """Map the reference's dtype strings (mm-style) to jnp dtypes."""
+    if not isinstance(name, str):
+        return name
+    return {
+        "fp32": jnp.float32, "float32": jnp.float32,
+        "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+        "fp16": jnp.float16, "half": jnp.float16, "float16": jnp.float16,
+    }[name]
+
+
+def format_numel_str(numel: int) -> str:
+    B, M, K = 1024**3, 1024**2, 1024
+    if numel >= B:
+        return f"{numel / B:.2f} B"
+    if numel >= M:
+        return f"{numel / M:.2f} M"
+    if numel >= K:
+        return f"{numel / K:.2f} K"
+    return str(numel)
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "shape"))
+
+
+class Timer:
+    """Device-synchronized timer (reference `Timer` cuda-syncs; here we block on a
+    probe jax op so compiled async dispatch is drained)."""
+
+    def __init__(self, name: str, log: bool = False, coordinator=None):
+        self.name = name
+        self.log = log
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        jax.effects_barrier()
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        jax.effects_barrier()
+        self.elapsed = time.perf_counter() - self._t0
+        if self.log:
+            logging.info("[timer] %s: %.4fs", self.name, self.elapsed)
+        return False
+
+
+def reset_logger(level=logging.INFO, log_file: Optional[str] = None):
+    handlers = [logging.StreamHandler()]
+    if log_file:
+        handlers.append(logging.FileHandler(log_file))
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+    return logging.getLogger()
+
+
+def collate_bboxes_to_maxlen(bbox_list, max_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Pad per-sample bbox dicts to a common box count.
+
+    Mirrors reference `collate_bboxes_to_maxlen` (magicdrivedit/utils/misc.py:276-341):
+    output masks use the 3-state convention 0=null/padding, 1=keep, -1=visible-masked.
+    Each item: dict(bboxes[T,len,8,3], classes[T,len], masks[T,len]).
+    """
+    if max_len is None:
+        max_len = max(int(b["bboxes"].shape[1]) for b in bbox_list)
+    out = {"bboxes": [], "classes": [], "masks": []}
+    for b in bbox_list:
+        T, L = b["bboxes"].shape[:2]
+        pad = max_len - L
+        out["bboxes"].append(np.pad(b["bboxes"], ((0, 0), (0, pad), (0, 0), (0, 0))))
+        out["classes"].append(np.pad(b["classes"], ((0, 0), (0, pad)), constant_values=0))
+        out["masks"].append(np.pad(b["masks"], ((0, 0), (0, pad)), constant_values=0))
+        if "box_latent" in b and b["box_latent"] is not None:
+            out.setdefault("box_latent", []).append(
+                np.pad(b["box_latent"], ((0, 0), (0, pad), (0, 0))))
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+def add_box_latent(bboxes: Dict, b: int, nc: int, t: int, sample_fn) -> Dict:
+    """Attach per-instance latents shared across views/time (reference
+    magicdrivedit/utils/misc.py add_box_latent)."""
+    n_boxes = bboxes["bboxes"].shape[-3]
+    latent = sample_fn(b * n_boxes)  # (b*n, D)
+    latent = np.asarray(latent).reshape(b, 1, 1, n_boxes, -1)
+    latent = np.broadcast_to(latent, (b, nc, t, n_boxes, latent.shape[-1]))
+    bboxes = dict(bboxes)
+    bboxes["box_latent"] = latent.reshape(b * nc, t, n_boxes, -1)
+    return bboxes

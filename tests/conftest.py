@@ -1,0 +1,29 @@
+"""Test harness: run everything on an 8-device virtual CPU mesh.
+
+This mirrors the multi-device test strategy called for in SURVEY.md §4: the reference has
+no software tests; we unit-test pure functions against formulas and validate sharding on
+`xla_force_host_platform_device_count` virtual devices.
+"""
+import os
+import sys
+
+# Force CPU: the environment pins JAX_PLATFORMS=axon (one tunneled TPU chip); tests must
+# run on the 8-device virtual CPU mesh, so override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("MDV2_PALLAS_INTERPRET", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
