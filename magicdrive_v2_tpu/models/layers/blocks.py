@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ...ops.attention import dot_product_attention
 from ...ops.rope import apply_rope
+from ...parallel.sharding import SP_AXIS, shard_hint
 
 Dtype = Any
 xavier_uniform = nn.initializers.xavier_uniform()
@@ -68,6 +69,7 @@ class Mlp(nn.Module):
     act: Callable = approx_gelu
     dtype: Dtype = jnp.float32
     kernel_init: Callable = xavier_uniform
+    fc2_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,7 +77,8 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
                      kernel_init=self.kernel_init, name="fc1")(x)
         x = self.act(x)
-        x = nn.Dense(out, dtype=self.dtype, kernel_init=self.kernel_init, name="fc2")(x)
+        x = nn.Dense(out, dtype=self.dtype,
+                     kernel_init=self.fc2_init or self.kernel_init, name="fc2")(x)
         return x
 
 
@@ -129,10 +132,10 @@ class TimestepEmbedder(nn.Module):
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         emb = timestep_embedding(t, self.frequency_embedding_size).astype(self.dtype)
-        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=normal_02,
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=xavier_uniform,
                        name="mlp_0")(emb)
         emb = jax.nn.silu(emb)
-        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=normal_02,
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=xavier_uniform,
                        name="mlp_2")(emb)
         return emb
 
@@ -152,10 +155,10 @@ class SizeEmbedder(nn.Module):
         b, d = s.shape
         emb = timestep_embedding(s.reshape(-1), self.frequency_embedding_size)
         emb = emb.astype(self.dtype)
-        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=normal_02,
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=xavier_uniform,
                        name="mlp_0")(emb)
         emb = jax.nn.silu(emb)
-        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=normal_02,
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=xavier_uniform,
                        name="mlp_2")(emb)
         return emb.reshape(b, d * self.hidden_size)
 
@@ -252,6 +255,10 @@ class SelfAttention(nn.Module):
         if self.use_rope:
             q = apply_rope(q.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
             k = apply_rope(k.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+        # Ulysses under GSPMD: heads sharded over 'sp' inside attention; the surrounding
+        # activations are sequence-sharded, so XLA materializes the head<->seq all-to-all
+        # (replaces reference SeqParallelAttention, blocks.py:281-381).
+        q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
         out = dot_product_attention(q, k, v, scale=D**-0.5)
         out = out.reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init, name="proj")(out)
@@ -285,6 +292,7 @@ class SharedKVAttention(nn.Module):
         if self.qk_norm:
             q = RMSNorm(D, name="q_norm")(q)
             k = RMSNorm(D, name="k_norm")(k)
+        q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
         out = dot_product_attention(q, k, v, scale=D**-0.5)
         out = out.reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, kernel_init=xavier_uniform, name="proj")(out)
@@ -313,6 +321,9 @@ class CrossAttention(nn.Module):
         kv = nn.Dense(2 * C, dtype=self.dtype, kernel_init=xavier_uniform,
                       name="kv_linear")(cond).reshape(B, Nc, 2, H, D)
         k, v = kv[:, :, 0], kv[:, :, 1]
+        # conditions are replicated; split on heads over 'sp' (replaces reference
+        # SeqParallelMultiHeadCrossAttention kv head-split, blocks.py:777-781)
+        q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
         out = dot_product_attention(q, k, v, scale=D**-0.5)
         out = out.reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init, name="proj")(out)

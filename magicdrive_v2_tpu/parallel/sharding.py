@@ -1,0 +1,84 @@
+"""Sharding utilities: mesh context + constraint hints.
+
+TPU-native replacement for the reference's process-group registry + NCCL collectives
+(reference magicdrivedit/acceleration/parallel_states.py, communications.py). Instead of
+explicit all_to_all autograd functions, model code drops `shard_hint` constraints and XLA
+GSPMD inserts the collectives (all-to-all for the Ulysses head<->sequence exchange,
+all-gather at the final layer) over the ('dp','sp') mesh axes.
+
+Everything is a no-op when no mesh context is active, so the same model code runs
+single-chip and multi-chip.
+"""
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_state = threading.local()
+
+DP_AXIS = "dp"
+SP_AXIS = "sp"
+
+
+def get_current_mesh() -> Optional[Mesh]:
+    return getattr(_state, "mesh", None)
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Optional[Mesh]):
+    prev = get_current_mesh()
+    _state.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _state.mesh = prev
+
+
+def make_mesh(dp: int = 1, sp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Build the (dp, sp) mesh. Mirrors the reference's ProcessGroupMesh(dp, sp)
+    (reference acceleration/plugin.py:60-64): dp outer, sp inner so sp groups ride
+    contiguous (high-bandwidth ICI) device blocks."""
+    if devices is None:
+        devices = jax.devices()
+    assert dp * sp <= len(devices), (dp, sp, len(devices))
+    grid = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(grid, (DP_AXIS, SP_AXIS))
+
+
+def shard_hint(x: jax.Array, axes: Dict[int, str]) -> jax.Array:
+    """Constrain `x` so dim i is sharded over mesh axis axes[i]; other dims are left
+    UNCONSTRAINED (GSPMD decides). No-op outside a mesh context or if the mesh lacks
+    the axis / divisibility."""
+    mesh = get_current_mesh()
+    if mesh is None or not axes:
+        return x
+    spec = []
+    for i in range(x.ndim):
+        name = axes.get(i)
+        if name is not None and name in mesh.axis_names and mesh.shape[name] > 1 \
+                and x.shape[i] % mesh.shape[name] == 0:
+            spec.append(name)
+        else:
+            spec.append(P.UNCONSTRAINED)
+    if all(s is P.UNCONSTRAINED for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def sp_size() -> int:
+    mesh = get_current_mesh()
+    if mesh is None or SP_AXIS not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[SP_AXIS])
+
+
+def dp_size() -> int:
+    mesh = get_current_mesh()
+    if mesh is None or DP_AXIS not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[DP_AXIS])

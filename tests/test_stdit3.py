@@ -1,0 +1,146 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdrive_v2_tpu.models.magicdrive.stdit3 import (
+    MagicDriveSTDiT3,
+    MagicDriveSTDiT3Config,
+)
+
+NC = 6
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        in_channels=4,
+        patch_size=(1, 2, 2),
+        hidden_size=32,
+        depth=4,
+        num_heads=4,
+        pred_sigma=False,
+        caption_channels=16,
+        model_max_length=8,
+        qk_norm=True,
+        with_temp_block=True,
+        control_depth=2,
+        use_x_control_embedder=True,
+        control_skip_cross_view=True,
+        control_skip_temporal=False,
+        micro_frame_size=None,
+        map_embedder_downsample_rate=4.5,
+        cam_encoder_cls="CamEmbedder",
+        cam_encoder_param=(("input_dim", 3), ("num", 7), ("after_proj", True)),
+        frame_emb_cls="CamEmbedderTemp",
+        frame_emb_param=(("input_dim", 3), ("num", 4), ("after_proj", True),
+                         ("num_heads", 4), ("qk_norm", True),
+                         ("use_scale_shift_table", True),
+                         ("time_downsample_factor", 4.5)),
+        bbox_embedder_cls="ContinuousBBoxWithTextTempEmbedding",
+        bbox_embedder_param=(("n_classes", 10), ("class_token_dim", 32),
+                             ("proj_dims", (32, 16, 16, 32)), ("mode", "all-xyz"),
+                             ("minmax_normalize", False), ("after_proj", True),
+                             ("sample_id", True), ("num_heads", 4), ("qk_norm", True),
+                             ("use_scale_shift_table", True),
+                             ("time_downsample_factor", 4.5)),
+        map_embedder_param=(("conditioning_size", (8, 40, 40)),
+                            ("block_out_channels", (4, 8, 12, 16))),
+        grad_checkpoint=False,
+        dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return MagicDriveSTDiT3Config(**defaults)
+
+
+def tiny_inputs(rng, b=1, T_img=9, H=32, W=40, L_box=3, L_txt=8):
+    ks = jax.random.split(rng, 8)
+    T_lat, H_lat, W_lat = (T_img - 1) // 4 + 1, H // 8, W // 8
+    x = jax.random.normal(ks[0], (b, 4 * NC, T_lat, H_lat, W_lat))
+    timestep = jnp.full((b,), 500.0)
+    y = jax.random.normal(ks[1], (b, 1, L_txt, 16))
+    maps = jax.random.uniform(ks[2], (b, T_img, 8, 40, 40))
+    bbox = {
+        "bboxes": jax.random.normal(ks[3], (b * NC, T_img, L_box, 8, 3)),
+        "classes": jnp.zeros((b * NC, T_img, L_box), jnp.int32),
+        "masks": jnp.ones((b * NC, T_img, L_box), jnp.int32),
+        "box_latent": jax.random.normal(ks[4], (b * NC, T_img, L_box, 32)),
+    }
+    cams = jax.random.normal(ks[5], (b * NC, T_img, 1, 3, 7))
+    rel_pos = jax.random.normal(ks[6], (b * NC, T_img, 1, 4, 4))
+    fps = jnp.full((b,), 12.0)
+    return dict(x=x, timestep=timestep, y=y, maps=maps, bbox=bbox, cams=cams,
+                rel_pos=rel_pos, fps=fps, height=float(H), width=float(W))
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_config()
+    model = MagicDriveSTDiT3(cfg)
+    inputs = tiny_inputs(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(42), **inputs)
+    return model, params, inputs
+
+
+def test_forward_shape_and_dtype(model_and_params):
+    model, params, inputs = model_and_params
+    out = model.apply(params, **inputs)
+    assert out.shape == inputs["x"].shape
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zero_init_gives_base_only_behavior(model_and_params):
+    """With zero-init control/mva/temporal projections, the control branch and
+    cross-view/temporal additions start as no-ops: changing the map must not change the
+    output at init (reference zero-init contract, magicdrive_stdit3.py:789-825)."""
+    model, params, inputs = model_and_params
+    out1 = model.apply(params, **inputs)
+    inputs2 = dict(inputs)
+    inputs2["maps"] = inputs["maps"] * 0.0
+    out2 = model.apply(params, **inputs2)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_x_mask_path(model_and_params):
+    model, params, inputs = model_and_params
+    T_lat = inputs["x"].shape[2]
+    x_mask = jnp.ones((1, T_lat), bool).at[0, 0].set(False)
+    out = model.apply(params, **inputs, x_mask=x_mask)
+    assert out.shape == inputs["x"].shape
+    # all-True mask must equal the no-mask path
+    out_all = model.apply(params, **inputs, x_mask=jnp.ones((1, T_lat), bool))
+    out_none = model.apply(params, **inputs)
+    np.testing.assert_allclose(np.asarray(out_all), np.asarray(out_none), atol=1e-5)
+
+
+def test_single_frame_image_mode():
+    cfg = tiny_config()
+    model = MagicDriveSTDiT3(cfg)
+    inputs = tiny_inputs(jax.random.PRNGKey(1), T_img=1)
+    params = model.init(jax.random.PRNGKey(2), **inputs)
+    out = model.apply(params, **inputs)
+    assert out.shape == inputs["x"].shape
+
+
+def test_h_pad_for_sp():
+    # force_pad_h_for_sp_size pads H so S % sp == 0 and output is still unpadded
+    cfg = tiny_config(force_pad_h_for_sp_size=8)
+    model = MagicDriveSTDiT3(cfg)
+    inputs = tiny_inputs(jax.random.PRNGKey(1), H=24, W=40)  # latent 3x5, S=15 -> pad H
+    params = model.init(jax.random.PRNGKey(2), **inputs)
+    out = model.apply(params, **inputs)
+    assert out.shape == inputs["x"].shape
+
+
+def test_drop_cond_mask_nulls_conditions(model_and_params):
+    model, params, inputs = model_and_params
+    drop = jnp.zeros((1,))  # drop everything
+    out_dropped = model.apply(params, **inputs, drop_cond_mask=drop,
+                              drop_frame_mask=jnp.zeros((1, 9)))
+    inputs2 = dict(inputs)
+    inputs2["y"] = inputs["y"] * 3.0 + 1.0
+    out_dropped2 = model.apply(params, **inputs2, drop_cond_mask=drop,
+                               drop_frame_mask=jnp.zeros((1, 9)))
+    # with captions dropped, y must not influence the output
+    np.testing.assert_allclose(np.asarray(out_dropped), np.asarray(out_dropped2),
+                               atol=1e-5)
