@@ -506,7 +506,10 @@ class VideoAutoencoderKLCogVideoX:
                     tile = blend_tiles_h(row[j - 1], tile, blend_w)
                 result_row.append(tile[:, :, :, :row_limit_h, :row_limit_w])
             result_rows.append(jnp.concatenate(result_row, axis=4))
-        return jnp.concatenate(result_rows, axis=3)
+        out = jnp.concatenate(result_rows, axis=3)
+        # crop overshoot from non-aligned tile grids (the reference assumes aligned
+        # sizes; cropping is a no-op there)
+        return out[:, :, :, :H * spatial, :W * spatial]
 
     # ---- shape arithmetic ----
 
