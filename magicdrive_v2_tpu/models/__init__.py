@@ -1,1 +1,1 @@
-from . import layers, magicdrive  # noqa: F401
+from . import layers, magicdrive, text_encoder, vae  # noqa: F401

@@ -1,0 +1,262 @@
+"""End-to-end generation pipeline.
+
+Plays the role of the reference's scripts/inference_magicdrive.py:334-539 inner loop,
+re-structured for XLA: condition encoding + the full 30-step CFG Euler loop compile into
+one program per shape bucket; the VAE decode is a second program.
+
+CFG realisations (SURVEY.md §2.6):
+- "rflow": batched — cond and null conditions concatenated on batch, one model call per
+  step (reference rf/__init__.py:96-105).
+- "rflow-slice": two sequential model calls per step to halve activation memory
+  (reference rf/__init__.py:485-512).
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import models  # noqa: F401  (populate the MODELS registry)
+from ..models.magicdrive.stdit3 import MagicDriveSTDiT3, build_model_config
+from ..models.vae.cogvideox import CogVAEConfig, VideoAutoencoderKLCogVideoX
+from ..registry import MODELS, build_module
+from ..schedulers.rf import RFLOW, build_scheduler
+from ..utils.inference_utils import add_null_condition, replace_with_null_condition
+from ..parallel.sharding import get_current_mesh, shard_hint, use_mesh
+
+
+class MagicDrivePipeline:
+    def __init__(self, model: MagicDriveSTDiT3, params, vae: VideoAutoencoderKLCogVideoX,
+                 text_encoder, scheduler: RFLOW, cfg=None):
+        self.model = model
+        self.params = params
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.scheduler = scheduler
+        self.cfg = cfg
+        self._sample_fns: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg, rng: Optional[jax.Array] = None, init_params: bool = True,
+                    example_batch: Optional[Dict] = None):
+        """Build model/vae/text-encoder/scheduler from a reference-style experiment
+        config (see configs/magicdrive/*)."""
+        import jax.numpy as jnp
+
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.get("seed", 42))
+        dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}.get(cfg.get("dtype", "bf16"),
+                                                                jnp.bfloat16)
+        vae_cfg = CogVAEConfig(dtype=dtype)
+        vae_dict = dict(cfg.get("vae", {}))
+        vae_dict.pop("type", None)
+        for k in ("from_pretrained", "subfolder", "cache_dir", "local_files_only"):
+            vae_dict.pop(k, None)
+        vae = VideoAutoencoderKLCogVideoX(vae_cfg, **vae_dict)
+
+        model_cfg = build_model_config(
+            cfg.model, vae_out_channels=cfg.get("vae_out_channels", 16),
+            mv_order_map=cfg.get("mv_order_map"), dtype=dtype,
+            grad_checkpoint=cfg.get("grad_checkpoint", False))
+        model = MagicDriveSTDiT3(model_cfg)
+
+        te_cfg = dict(cfg.get("text_encoder", {"type": "t5-dummy"}))
+        te_kind = te_cfg.pop("type", "t5-dummy")
+        try:
+            text_encoder = MODELS.get(te_kind)(**te_cfg)
+        except Exception as e:  # missing T5 weights -> deterministic dummy
+            logging.warning("text encoder %r unavailable (%s); using t5-dummy", te_kind, e)
+            text_encoder = MODELS.get("t5-dummy")(
+                model_max_length=te_cfg.get("model_max_length", 300))
+
+        scheduler = build_scheduler(cfg.scheduler)
+        params = None
+        if init_params:
+            k1, k2 = jax.random.split(rng)
+            if example_batch is None:
+                example_batch = synthetic_batch(model_cfg, num_frames=9, height=224,
+                                                width=400,
+                                                l_txt=text_encoder.model_max_length,
+                                                caption_channels=model_cfg.caption_channels)
+            params = model.init(k1, **example_batch)
+            vae.init(k2)
+        pipe = cls(model, params, vae, text_encoder, scheduler, cfg)
+        return pipe
+
+    # ------------------------------------------------------------------
+    def model_param(self, *path):
+        node = self.params["params"]
+        for p in path:
+            node = node[p]
+        return node
+
+    @property
+    def uncond_cam(self):
+        return self.model_param("camera_embedder", "uncond_cam")
+
+    @property
+    def uncond_rel_pos(self):
+        return self.model_param("frame_embedder", "uncond_cam")
+
+    def null_y(self, n: int):
+        y_embedding = self.model_param("y_embedder", "y_embedding")
+        self.text_encoder.set_null_embedding(y_embedding)
+        return self.text_encoder.null(n)
+
+    def prepare_text_embedding(self):
+        """Initialize bbox class tokens + base_token from the text encoder (reference
+        prepare_text_embedding, magicdrive_stdit3.py:1009-1019). Mutates params."""
+        classes = list(getattr(self.text_encoder, "class_names", None) or [
+            "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+            "motorcycle", "bicycle", "pedestrian", "traffic_cone"])
+
+        def embed(text):
+            ret = self.text_encoder.encode([text])
+            y = self.model.apply(self.params, ret["y"],
+                                 method=lambda m, y: m.encode_text(y))
+            n_tok = int(np.asarray(ret["mask"]).sum())
+            return np.asarray(y)[0, :n_tok]
+
+        params = jax.tree_util.tree_map(np.asarray, self.params)
+        tokens = params["params"]["bbox_embedder"]["class_tokens"]
+        for i, name in enumerate(classes):
+            tokens[i] = embed(name).mean(axis=0)
+        params["params"]["base_token"] = embed("")[0]
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    # ------------------------------------------------------------------
+    def _build_predict_fn(self, model_args: Dict, guidance_scale: float,
+                          slice_cfg: bool):
+        """Returns predict(z, t, x_mask) -> CFG-combined velocity; model_args hold the
+        conditioning (already doubled for batched CFG)."""
+        scale = guidance_scale
+        apply = self.model.apply
+        params = self.params
+
+        if not slice_cfg:
+            args2 = add_null_condition(model_args, self.uncond_cam, self.uncond_rel_pos)
+            y2 = jnp.concatenate([model_args["y"], self.null_y(model_args["y"].shape[0])],
+                                 axis=0)
+            args2["y"] = y2
+
+            def predict(z, t, x_mask):
+                z_in = jnp.concatenate([z, z], axis=0)
+                t_in = jnp.concatenate([t, t], axis=0)
+                xm = None if x_mask is None else jnp.concatenate([x_mask, x_mask], 0)
+                pred = apply(params, z_in, t_in, **args2, x_mask=xm)
+                if pred.shape[1] == z_in.shape[1] * 2:
+                    pred = jnp.split(pred, 2, axis=1)[0]
+                cond, uncond = jnp.split(pred, 2, axis=0)
+                return uncond + scale * (cond - uncond)
+
+            return predict
+
+        null_args = replace_with_null_condition(
+            model_args, self.uncond_cam, self.uncond_rel_pos,
+            self.null_y(model_args["y"].shape[0]),
+            ["y", "bbox", "cams", "rel_pos"])
+
+        def predict(z, t, x_mask):
+            def run(args):
+                pred = apply(params, z, t, **args, x_mask=x_mask)
+                if pred.shape[1] == z.shape[1] * 2:
+                    pred = jnp.split(pred, 2, axis=1)[0]
+                return pred
+            all_pred = run(model_args)
+            null_pred = run(null_args)
+            return null_pred + scale * (all_pred - null_pred)
+
+        return predict
+
+    def sample(self, batch: Dict, *, num_frames: int, height: int, width: int,
+               rng: Optional[jax.Array] = None, z: Optional[jnp.ndarray] = None,
+               mask: Optional[jnp.ndarray] = None, guidance_scale: Optional[float] = None,
+               decode: bool = True):
+        """Generate a sample.
+
+        batch: dict with y (B,1,L,4096) [or 'captions' strings], maps, bbox, cams,
+        rel_pos, fps. num_frames/height/width: pixel-space target (static).
+        """
+        sched = self.scheduler
+        guidance_scale = guidance_scale if guidance_scale is not None else sched.cfg_scale
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if "y" not in batch and "captions" in batch:
+            enc = self.text_encoder.encode(batch["captions"])
+            batch = {k: v for k, v in batch.items() if k != "captions"}
+            batch["y"] = enc["y"]
+
+        model_cfg = self.model.cfg
+        nc = model_cfg.nc
+        b = batch["y"].shape[0]
+        lat_t, lat_h, lat_w = self.vae.get_latent_size([num_frames, height, width])
+        if z is None:
+            zk, rng = jax.random.split(rng)
+            z = jax.random.normal(
+                zk, (b, model_cfg.in_channels * nc, lat_t, lat_h, lat_w), jnp.float32)
+
+        model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos", "fps")
+                      if k in batch}
+        predict = self._build_predict_fn(
+            {**model_args, "height": float(height), "width": float(width)},
+            guidance_scale, sched.slice_cfg)
+
+        hw = dict(height=jnp.full((z.shape[0],), float(height)),
+                  width=jnp.full((z.shape[0],), float(width)),
+                  num_frames=jnp.full((z.shape[0],), float(num_frames)))
+
+        def _predict(zz, tt, xm):
+            return predict(zz, tt, xm)
+
+        samples = sched.sample(_predict, z, mask=mask, rng=rng, **hw)
+        if not decode:
+            return samples
+        # (b, C*NC, T', H', W') -> (b*NC, C, T', H', W') for VAE decode
+        C = model_cfg.in_channels
+        lat = samples.reshape(b, C, nc, lat_t, lat_h, lat_w).transpose(0, 2, 1, 3, 4, 5)
+        lat = lat.reshape(b * nc, C, lat_t, lat_h, lat_w)
+        vids = self.vae.decode(lat.astype(self.vae.cfg.dtype))
+        return np.asarray(vids.astype(jnp.float32)).reshape(
+            b, nc, *vids.shape[1:])
+
+
+def synthetic_batch(model_cfg, num_frames: int, height: int, width: int,
+                    l_box: int = 10, l_txt: int = 300, caption_channels: int = 4096,
+                    b: int = 1, map_size=(8, 400, 400), seed: int = 0) -> Dict:
+    """Shape-correct synthetic conditioning for tests/benchmarks (stands in for the
+    nuScenes loader output contract, SURVEY.md L0->L6 interface)."""
+    rng = np.random.default_rng(seed)
+    nc = model_cfg.nc
+    vae_t = 1 if num_frames == 1 else (num_frames - 1) // 4 + 1
+    x = rng.standard_normal((b, model_cfg.in_channels * nc, vae_t, height // 8,
+                             width // 8), np.float32)
+    bbox_cls = model_cfg.bbox_embedder_cls
+    bbox_param = dict(model_cfg.bbox_embedder_param)
+    batch = dict(
+        x=jnp.asarray(x),
+        timestep=jnp.full((b,), 500.0),
+        y=jnp.asarray(rng.standard_normal((b, 1, l_txt, caption_channels), np.float32)),
+        maps=jnp.asarray(rng.random((b, num_frames) + tuple(map_size), np.float32)),
+        bbox=dict(
+            bboxes=jnp.asarray(rng.standard_normal(
+                (b * nc, num_frames, l_box, 8, 3), np.float32) * 10),
+            classes=jnp.asarray(rng.integers(0, bbox_param.get("n_classes", 10),
+                                             (b * nc, num_frames, l_box)), jnp.int32),
+            masks=jnp.asarray(rng.integers(0, 2, (b * nc, num_frames, l_box)),
+                              jnp.int32),
+        ),
+        cams=jnp.asarray(rng.standard_normal((b * nc, num_frames, 1, 3, 7), np.float32)),
+        rel_pos=jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32),
+                                            (b * nc, num_frames, 1, 4, 4)).copy()),
+        fps=jnp.full((b,), 12.0),
+        height=float(height),
+        width=float(width),
+    )
+    if bbox_param.get("sample_id"):
+        dim = bbox_param.get("class_token_dim", 1152)
+        batch["bbox"]["box_latent"] = jnp.asarray(
+            rng.standard_normal((b * nc, num_frames, l_box, dim), np.float32))
+    return batch

@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdrive_v2_tpu.config import Config
+from magicdrive_v2_tpu.pipelines.magicdrive import MagicDrivePipeline, synthetic_batch
+
+TINY_CFG = dict(
+    dtype="fp32",
+    vae_out_channels=4,
+    scheduler=dict(type="rflow", use_timestep_transform=True, cog_style_trans=True,
+                   num_sampling_steps=3, cfg_scale=2.0),
+    mv_order_map={0: [5, 1], 1: [0, 2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4, 0]},
+    model=dict(
+        type="MagicDriveSTDiT3",
+        in_channels=4,
+        hidden_size=32,
+        depth=4,
+        control_depth=2,
+        num_heads=4,
+        pred_sigma=False,
+        caption_channels=16,
+        model_max_length=8,
+        qk_norm=True,
+        with_temp_block=True,
+        use_x_control_embedder=True,
+        control_skip_cross_view=True,
+        control_skip_temporal=False,
+        micro_frame_size=None,
+        map_embedder_downsample_rate=4.5,
+        cam_encoder_cls="CamEmbedder",
+        cam_encoder_param=dict(input_dim=3, num=7, after_proj=True),
+        frame_emb_cls="CamEmbedderTemp",
+        frame_emb_param=dict(input_dim=3, num=4, after_proj=True, num_heads=4,
+                             qk_norm=True, use_scale_shift_table=True,
+                             time_downsample_factor=4.5),
+        bbox_embedder_cls="ContinuousBBoxWithTextTempEmbedding",
+        bbox_embedder_param=dict(n_classes=10, class_token_dim=32,
+                                 proj_dims=[32, 16, 16, 32], mode="all-xyz",
+                                 minmax_normalize=False, after_proj=True,
+                                 sample_id=False, num_heads=4, qk_norm=True,
+                                 use_scale_shift_table=True,
+                                 time_downsample_factor=4.5),
+        map_embedder_param=dict(conditioning_size=[8, 40, 40],
+                                block_out_channels=[4, 8, 12, 16]),
+    ),
+    vae=dict(type="VideoAutoencoderKLCogVideoX", micro_frame_size=None),
+    text_encoder=dict(type="t5-dummy", model_max_length=8, output_dim=16),
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = Config(TINY_CFG)
+    # tiny VAE to match in_channels=4
+    from magicdrive_v2_tpu.models.vae.cogvideox import CogVAEConfig, VideoAutoencoderKLCogVideoX
+    pipe = MagicDrivePipeline.from_config(
+        cfg, rng=jax.random.PRNGKey(0), init_params=True,
+        example_batch=synthetic_batch(
+            _model_cfg(cfg), num_frames=9, height=32, width=40, l_txt=8,
+            caption_channels=16, map_size=(8, 40, 40)))
+    vae = VideoAutoencoderKLCogVideoX(
+        CogVAEConfig(block_out_channels=(8, 8, 8, 16), latent_channels=4,
+                     layers_per_block=1, norm_num_groups=4))
+    vae.init(jax.random.PRNGKey(1))
+    pipe.vae = vae
+    return pipe
+
+
+def _model_cfg(cfg):
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import build_model_config
+    return build_model_config(cfg.model, vae_out_channels=4,
+                              mv_order_map=cfg.mv_order_map, dtype=jnp.float32)
+
+
+def _cond_batch(cfg, num_frames=9, h=32, w=40):
+    mc = _model_cfg(cfg)
+    batch = synthetic_batch(mc, num_frames=num_frames, height=h, width=w, l_txt=8,
+                            caption_channels=16, map_size=(8, 40, 40))
+    for k in ("x", "timestep", "height", "width"):
+        batch.pop(k)
+    return batch
+
+
+def test_end_to_end_sampling(pipe):
+    batch = _cond_batch(Config(TINY_CFG))
+    vids = pipe.sample(batch, num_frames=9, height=32, width=40,
+                       rng=jax.random.PRNGKey(7))
+    assert vids.shape == (1, 6, 3, 9, 32, 40)
+    assert np.isfinite(vids).all()
+
+
+def test_sampling_latents_deterministic(pipe):
+    batch = _cond_batch(Config(TINY_CFG))
+    s1 = pipe.sample(batch, num_frames=9, height=32, width=40,
+                     rng=jax.random.PRNGKey(3), decode=False)
+    s2 = pipe.sample(batch, num_frames=9, height=32, width=40,
+                     rng=jax.random.PRNGKey(3), decode=False)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_slice_cfg_matches_batched(pipe):
+    """rflow vs rflow-slice must be numerically equivalent (same math, different
+    batching; reference rf/__init__.py:426+)."""
+    batch = _cond_batch(Config(TINY_CFG))
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, 4 * 6, 3, 4, 5))
+    s_batched = pipe.sample(batch, num_frames=9, height=32, width=40, z=z,
+                            decode=False)
+    import dataclasses
+    pipe.scheduler = dataclasses.replace(pipe.scheduler, slice_cfg=True)
+    try:
+        s_slice = pipe.sample(batch, num_frames=9, height=32, width=40, z=z,
+                              decode=False)
+    finally:
+        pipe.scheduler = dataclasses.replace(pipe.scheduler, slice_cfg=False)
+    np.testing.assert_allclose(np.asarray(s_batched), np.asarray(s_slice), atol=2e-4)
+
+
+def test_frame_mask_pins_reference_frames(pipe):
+    batch = _cond_batch(Config(TINY_CFG))
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 4 * 6, 3, 4, 5))
+    mask = jnp.array([[0.0, 1.0, 1.0]])  # frame 0 is reference (kept)
+    out = pipe.sample(batch, num_frames=9, height=32, width=40, z=z, mask=mask,
+                      decode=False)
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]), np.asarray(z[:, :, 0]),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(out[:, :, 1]), np.asarray(z[:, :, 1]))
