@@ -1,0 +1,99 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdrive_v2_tpu.config import Config
+from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+from magicdrive_v2_tpu.schedulers.rf import RFLOW
+from magicdrive_v2_tpu.training.trainer import build_training
+from magicdrive_v2_tpu.utils.train_utils import (
+    MaskGenerator,
+    sample_condition_dropout,
+    trainable_mask,
+    update_ema,
+)
+
+from test_stdit3 import tiny_config
+
+
+def _setup(grad_checkpoint=True):
+    cfg = tiny_config(grad_checkpoint=grad_checkpoint)
+    model = MagicDriveSTDiT3(cfg)
+    batch = synthetic_batch(cfg, num_frames=9, height=32, width=40, l_txt=8,
+                            caption_channels=16, map_size=(8, 40, 40))
+    h, w = batch.pop("height"), batch.pop("width")
+    ts = batch.pop("timestep")
+    params = model.init(jax.random.PRNGKey(0), **batch, timestep=ts, height=h, width=w)
+    batch["mask"] = jnp.ones((1, batch["x"].shape[2]), jnp.float32)
+    return cfg, model, params, batch
+
+
+def test_train_step_decreases_loss_and_updates():
+    cfg, model, params, batch = _setup()
+    scheduler = RFLOW(num_timesteps=1000)
+    state, step = build_training(model, scheduler, params, Config(lr=1e-3),
+                                 height=32, width=40, num_frames=9)
+    p0 = np.asarray(params["params"]["t_block_1"]["kernel"])  # copy before donation
+    state1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert int(state1.step) == 1
+    # trainable params changed
+    p1 = np.asarray(state1.params["params"]["t_block_1"]["kernel"])
+    assert not np.allclose(p0, p1)
+
+
+def test_buffers_not_trained():
+    cfg, model, params, batch = _setup(grad_checkpoint=False)
+    scheduler = RFLOW(num_timesteps=1000)
+    base0 = np.asarray(params["params"]["base_token"])
+    y0 = np.asarray(params["params"]["y_embedder"]["y_embedding"])
+    state, step = build_training(model, scheduler, params, Config(lr=1e-2),
+                                 height=32, width=40, num_frames=9)
+    state1, _ = step(state, batch, jax.random.PRNGKey(1))
+    base1 = np.asarray(state1.params["params"]["base_token"])
+    np.testing.assert_allclose(base0, base1)
+    y1 = np.asarray(state1.params["params"]["y_embedder"]["y_embedding"])
+    np.testing.assert_allclose(y0, y1)
+
+
+def test_trainable_mask_patterns():
+    params = {"params": {"a": {"kernel": np.zeros(3)}, "base_token": np.zeros(3),
+                         "y_embedder": {"y_embedding": np.zeros(3)}}}
+    mask = trainable_mask(params, freeze_patterns=("a/",))
+    assert mask["params"]["a"]["kernel"] is False
+    assert mask["params"]["base_token"] is False
+    assert mask["params"]["y_embedder"]["y_embedding"] is False
+
+
+def test_update_ema():
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = update_ema(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+    out = update_ema(ema, params, decay=0.9, mask={"w": False})
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0, atol=1e-6)
+
+
+def test_mask_generator_distribution():
+    import random
+    gen = MaskGenerator({"image_head": 0.5}, rng=random.Random(0))
+    masks = gen.get_masks(200, 8)
+    assert masks.shape == (200, 8)
+    frac_head = (~masks[:, 0]).mean()
+    assert 0.3 < frac_head < 0.7
+    assert masks[:, 1:].all() or not masks.all()
+    # T=1: always identity
+    assert gen.get_masks(10, 1).all()
+
+
+def test_condition_dropout():
+    import random
+    drop_cond, drop_frame = sample_condition_dropout(random.Random(0), 1000, 4,
+                                                     drop_cond_ratio=0.15)
+    assert 0.1 < 1 - drop_cond.mean() < 0.2
+    # frames only drop when the scene drops
+    assert ((drop_frame.min(axis=1) == 1) | (drop_cond == 0)).all()
