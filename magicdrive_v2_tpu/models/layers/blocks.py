@@ -185,9 +185,10 @@ class CaptionEmbedder(nn.Module):
                           dtype=self.dtype, name="y_proj")
 
     def token_drop(self, caption: jnp.ndarray, drop_ids: jnp.ndarray) -> jnp.ndarray:
-        # caption: (B, 1, L, C); drop_ids: (B,) bool/int
+        # caption: (B, 1, L, C) with L <= token_num; drop_ids: (B,) bool/int
         drop = drop_ids.astype(bool)[:, None, None, None]
-        return jnp.where(drop, self.y_embedding.astype(caption.dtype), caption)
+        null = self.y_embedding[: caption.shape[2]].astype(caption.dtype)
+        return jnp.where(drop, null, caption)
 
     def __call__(self, caption: jnp.ndarray, force_drop_ids: Optional[jnp.ndarray] = None):
         if force_drop_ids is not None:
