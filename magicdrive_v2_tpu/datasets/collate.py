@@ -1,0 +1,176 @@
+"""Per-clip collation into static-shape numpy arrays + model-batch adapter.
+
+`collate_fn_single_clip` mirrors the reference collate (reference
+magicdrivedit/datasets/nuscenes_t_dataset.py:574-733): stacks multi-view pixels, BEV
+maps (+aux channels), camera params K|camera2lidar (3x7), ego rel-pose, and runs one of
+the two bbox processors. `clip_to_model_batch` is the reference train script's
+"move_data" stage (scripts/train_magicdrive.py:486-508): folds the camera dim into
+batch and pads boxes across the batch to one static max_len — on TPU this fixed width
+is chosen per bucket so each bucket is one XLA compilation.
+"""
+from __future__ import annotations
+
+import random as pyrandom
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .bbox import pad_bboxes_to_maxlen, preprocess_bbox, preprocess_bbox_keep_all
+
+__all__ = ["collate_fn_single_clip", "clip_to_model_batch", "collate_clips"]
+
+_BBOX_PROCESSORS = {1: preprocess_bbox, 2: preprocess_bbox_keep_all}
+
+
+def collate_fn_single_clip(
+        frames: Sequence[dict], template: str = "{description}",
+        frame_emb: Optional[str] = None, is_train: bool = True,
+        bbox_mode: Optional[str] = None, bbox_view_shared: bool = False,
+        bbox_drop_ratio: float = 0, bbox_add_ratio: float = 0, bbox_add_num: int = 3,
+        keyframe_rate: int = 1, bbox_processor_type: int = 2,
+        rng: Optional[pyrandom.Random] = None) -> Dict[str, Any]:
+    """Collate T frame dicts of one clip into clip arrays.
+
+    Returns dict with:
+      pixel_values (T, NC, 3, H, W), bev_map_with_aux (T, C_map, h, w),
+      camera_param (T, NC, 3, 7), frame_emb (T, 4, 4) or None,
+      bboxes_3d_data {bboxes/classes/masks} or None, captions [str], height, width.
+    """
+    if bbox_add_ratio > 0:
+        assert not bbox_view_shared, "You cannot add any box on view shared."
+    pixel_values = np.stack([f["img"] for f in frames]).astype(np.float32)
+
+    map_keys = ["gt_masks_bev"]
+    if frames[0].get("gt_aux_bev") is not None:
+        map_keys.append("gt_aux_bev")
+        assert bbox_drop_ratio == 0, "map is not affected in bbox_drop"
+    bev = np.stack([np.concatenate([np.asarray(f[k], np.float32) for k in map_keys],
+                                   axis=0) for f in frames])
+
+    camera_param = np.stack([np.concatenate([
+        np.asarray(f["camera_intrinsics"], np.float32)[:, :3, :3],
+        np.asarray(f["camera2lidar"], np.float32)[:, :3],
+    ], axis=-1) for f in frames])
+
+    ret: Dict[str, Any] = {
+        "pixel_values": pixel_values,
+        "bev_map_with_aux": bev,
+        "camera_param": camera_param,
+    }
+    for k in ("human_img", "human_mask"):
+        if k in frames[0]:
+            ret[k + "s"] = np.stack([f[k] for f in frames]).astype(np.float32)
+
+    if frame_emb == "next2top":
+        ret["frame_emb"] = np.stack([np.asarray(f["next2top"], np.float32)
+                                     for f in frames])
+    else:
+        assert frame_emb is None
+        ret["frame_emb"] = None
+
+    canvas_size = pixel_values.shape[-2:]
+    if bbox_mode is not None:
+        ret["bboxes_3d_data"] = _BBOX_PROCESSORS[int(bbox_processor_type)](
+            bbox_mode, canvas_size, frames, is_train=is_train,
+            view_shared=bbox_view_shared, bbox_add_ratio=bbox_add_ratio,
+            bbox_add_num=bbox_add_num, bbox_drop_ratio=bbox_drop_ratio,
+            keyframe_rate=keyframe_rate, rng=rng)
+
+    ret["captions"] = [template.format(**f.get("metas", f)) for f in frames]
+    ret["height"] = pixel_values.shape[-2]
+    ret["width"] = pixel_values.shape[-1]
+    return ret
+
+
+def collate_clips(clips: Sequence[Dict[str, Any]],
+                  bbox_max_len: Optional[int] = None) -> Dict[str, Any]:
+    """Stack B clip dicts (same bucket => same T/H/W) into a batch dict, padding
+    bboxes to a common max_len (reference misc.collate_bboxes_to_maxlen)."""
+    out: Dict[str, Any] = {}
+    for key in ("pixel_values", "bev_map_with_aux", "camera_param", "frame_emb",
+                "human_imgs", "human_masks"):
+        if key in clips[0] and clips[0][key] is not None:
+            out[key] = np.stack([c[key] for c in clips])
+        elif key in clips[0]:
+            out[key] = None
+    bbox_dicts = [c.get("bboxes_3d_data") for c in clips]
+    if any(b is not None for b in bbox_dicts):
+        max_len = max(b["bboxes"].shape[2] for b in bbox_dicts if b is not None)
+        if bbox_max_len is not None:
+            max_len = max(max_len, bbox_max_len)
+        padded = []
+        t = clips[0]["pixel_values"].shape[0]
+        nc = clips[0]["pixel_values"].shape[1]
+        point_shape = next(b["bboxes"].shape[3:] for b in bbox_dicts
+                           if b is not None)
+        for b in bbox_dicts:
+            p = {"bboxes": np.zeros((t, nc, max_len, *point_shape), np.float32),
+                 "classes": -np.ones((t, nc, max_len), np.int64),
+                 "masks": np.zeros((t, nc, max_len), np.float32)}
+            if b is not None:
+                n = b["bboxes"].shape[2]
+                # n_out dims of size 1 (view-shared boxes / classes) broadcast to NC
+                p["bboxes"][:, :, :n] = b["bboxes"]
+                p["classes"][:, :, :n] = b["classes"]
+                p["masks"][:, :, :n] = b["masks"]
+            padded.append(p)
+        out["bboxes_3d_data"] = {
+            k: np.stack([p[k] for p in padded]) for k in ("bboxes", "classes", "masks")}
+    else:
+        out["bboxes_3d_data"] = None
+    out["captions"] = [c["captions"] for c in clips]
+    out["height"] = clips[0]["height"]
+    out["width"] = clips[0]["width"]
+    out["num_frames"] = clips[0]["pixel_values"].shape[0]
+    out["fps"] = np.asarray([c.get("fps", 12) for c in clips], np.float32)
+    return out
+
+
+def clip_to_model_batch(batch: Dict[str, Any],
+                        box_latent_dim: Optional[int] = None,
+                        rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
+    """Reference move_data (train_magicdrive.py:486-508): fold NC into batch.
+
+    When `box_latent_dim` is set (model's bbox embedder has sample_id=True), attach
+    per-instance latents shared across views/time, like the reference's
+    `add_box_latent(bbox, B, NC, T, model.sample_box_latent)`
+    (train_magicdrive.py:500).
+
+    Input: batch from `collate_clips`. Output keys match the model call contract:
+      x (B, C*NC, T, H, W) pixels (pre-VAE), maps (B, T, C_map, h, w),
+      bbox{bboxes,classes,masks} (B*NC, T, L, ...), cams (B*NC, T, 1, 3, 7),
+      rel_pos (B*NC, T, 1, 4, 4), fps (B,), captions.
+    """
+    pix = batch["pixel_values"]  # (B, T, NC, 3, H, W)
+    B, T, NC = pix.shape[:3]
+    x = np.transpose(pix, (0, 2, 3, 1, 4, 5)).reshape(
+        B * NC, pix.shape[3], T, *pix.shape[4:])
+    out: Dict[str, Any] = {
+        "x": x,  # (B*NC, 3, T, H, W) -> VAE encode -> latents
+        "maps": batch["bev_map_with_aux"],
+        "captions": [c[0] for c in batch["captions"]],  # first frame's caption
+        "fps": batch["fps"],
+        "height": float(batch["height"]),
+        "width": float(batch["width"]),
+        "num_frames": int(batch["num_frames"]),
+    }
+    cams = batch["camera_param"]  # (B, T, NC, 3, 7)
+    out["cams"] = np.transpose(cams, (0, 2, 1, 3, 4)).reshape(
+        B * NC, T, 1, 3, 7)
+    if batch.get("frame_emb") is not None:
+        rel = batch["frame_emb"]  # (B, T, 4, 4)
+        out["rel_pos"] = np.repeat(rel[:, None], NC, axis=1).reshape(
+            B * NC, T, 1, 4, 4)
+    bbox = batch.get("bboxes_3d_data")
+    if bbox is not None:
+        out["bbox"] = {
+            k: np.transpose(v, (0, 2, 1) + tuple(range(3, v.ndim))).reshape(
+                B * NC, T, *v.shape[3:])
+            for k, v in bbox.items()}  # (B, T, NC, ...) -> (B*NC, T, ...)
+        if box_latent_dim is not None:
+            from ..utils.misc import add_box_latent
+            rng = rng or np.random.default_rng()
+            out["bbox"] = add_box_latent(
+                out["bbox"], B, NC, T,
+                lambda n: rng.standard_normal((n, box_latent_dim), np.float32))
+    return out

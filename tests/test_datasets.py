@@ -1,0 +1,313 @@
+"""Dataset-layer tests: geometry, bbox processors, collate, samplers, BEV.
+
+All host-side numpy (no TPU): golden values derived from the formulas cited in
+SURVEY.md §2.8/§2.9.
+"""
+import numpy as np
+import pytest
+
+from magicdrive_v2_tpu.datasets import (
+    BucketSampler, StatefulSampler, boxes_to_corners, clip_to_model_batch,
+    collate_clips, collate_fn_single_clip, ensure_canvas, obtain_next2top,
+    one_hot_decode, one_hot_encode, preprocess_bbox, preprocess_bbox_keep_all,
+    quaternion_to_rotation_matrix, trans_boxes_to_view)
+from magicdrive_v2_tpu.datasets.bev import LoadBEVSegmentation
+from magicdrive_v2_tpu.datasets.transforms import aug_homography
+from collections import OrderedDict
+
+
+# ---------------- geometry ----------------
+
+def test_quaternion_identity_and_axis():
+    assert np.allclose(quaternion_to_rotation_matrix([1, 0, 0, 0]), np.eye(3))
+    # 90 deg about z: (w, x, y, z) = (cos45, 0, 0, sin45)
+    R = quaternion_to_rotation_matrix([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])
+    assert np.allclose(R @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-12)
+
+
+def test_boxes_to_corners_axis_aligned():
+    # bottom-center at origin, dims (2, 4, 6), yaw 0
+    box = np.array([[0, 0, 0, 2, 4, 6, 0]], np.float32)
+    corners = boxes_to_corners(box)[0]
+    # mmdet3d order: x0y0z0, x0y0z1, x0y1z1, x0y1z0, x1y0z0, x1y0z1, x1y1z1, x1y1z0
+    expected = np.array([
+        [-1, -2, 0], [-1, -2, 6], [-1, 2, 6], [-1, 2, 0],
+        [1, -2, 0], [1, -2, 6], [1, 2, 6], [1, 2, 0]], np.float32)
+    assert np.allclose(corners, expected, atol=1e-5)
+
+
+def test_boxes_to_corners_yaw():
+    box = np.array([[5, 3, 1, 2, 2, 2, np.pi / 2]], np.float32)
+    corners = boxes_to_corners(box)[0]
+    # yaw pi/2 about z: (dx, dy) -> (-dy, dx) relative to center
+    rel = corners - np.array([5, 3, 1])
+    assert np.allclose(sorted(rel[:, 0]), [-1, -1, -1, -1, 1, 1, 1, 1], atol=1e-5)
+    # corner 0 (x0y0z0) local (-1,-1,0); mmdet3d rotates clockwise for +yaw:
+    # (x, y) -> (x cos + y sin, -x sin + y cos) => (-1, 1, 0)
+    assert np.allclose(rel[0], [-1, 1, 0], atol=1e-5)
+
+
+def _pose(yaw, t):
+    q = [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]
+    return {"lidar2ego_rotation": [1, 0, 0, 0], "lidar2ego_translation": [0, 0, 0],
+            "ego2global_rotation": q, "ego2global_translation": t}
+
+
+def test_obtain_next2top_matches_se3_composition():
+    first = _pose(0.3, [10.0, -2.0, 0.5])
+    current = _pose(-0.8, [13.0, 4.0, 0.4])
+
+    def l2g(p):
+        m = np.eye(4)
+        m[:3, :3] = quaternion_to_rotation_matrix(p["ego2global_rotation"]) @ \
+            quaternion_to_rotation_matrix(p["lidar2ego_rotation"])
+        # l2e translation is zero here, so translation = e2g translation
+        m[:3, 3] = p["ego2global_translation"]
+        return m
+
+    # v2: maps points in the FIRST (top) lidar frame into the CURRENT frame
+    expected = np.linalg.inv(l2g(current)) @ l2g(first)
+    got = obtain_next2top(first, current, epsilon=None, v2=True)
+    assert np.allclose(got, expected, atol=1e-9)
+    # identity when first == current
+    eye = obtain_next2top(first, first, epsilon=None, v2=True)
+    assert np.allclose(eye, np.eye(4), atol=1e-9)
+
+
+def test_trans_boxes_to_view_pinhole():
+    # camera looking along +z of its own frame; lidar2image = K @ [I|0]
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 100.0
+    K[0, 2], K[1, 2] = 50.0, 30.0
+    # box center 10 m in front (z up in lidar... we fake: use transform = K)
+    box = np.array([[0, 0, 10, 2, 2, 2, 0]], np.float32)
+    coords = trans_boxes_to_view(box, K, None, proj=True)
+    assert coords.shape == (1, 8, 3)
+    assert np.all(coords[..., 2] == 1.0)  # positive z normalized to +1
+    # center-ish projection near the principal point
+    assert abs(coords[..., 0].mean() - 50.0) < 2.0
+    assert abs(coords[..., 1].mean() - 30.0) < 2.0
+
+
+def test_ensure_canvas():
+    inside = np.zeros((1, 8, 3))
+    inside[0, :, 0] = 10  # x
+    inside[0, :, 1] = 10  # y
+    inside[0, :, 2] = 1
+    outside = inside.copy()
+    outside[0, :, 0] = 500
+    coords = np.concatenate([inside, outside])
+    mask = ensure_canvas(coords, (100, 200))
+    assert mask.tolist() == [True, False]
+
+
+# ---------------- aug homography ----------------
+
+def test_aug_homography_maps_pixels_like_pil_ops():
+    # resize s, crop (x0, y0, ...), no flip/rot: p' = s*p - (x0, y0)
+    s, crop = 0.5, (10, 20, 110, 70)
+    H = aug_homography(s, crop, False, 0.0)
+    p = np.array([100.0, 80.0, 0.0, 1.0])
+    out = H @ p
+    assert np.allclose(out[:2], [100 * s - 10, 80 * s - 20])
+    # flip about the crop width: x -> (W - x)
+    Hf = aug_homography(1.0, (0, 0, 200, 100), True, 0.0)
+    out = Hf @ np.array([30.0, 40.0, 0.0, 1.0])
+    assert np.allclose(out[:2], [170, 40])
+    # 180-deg rotation about crop center
+    Hr = aug_homography(1.0, (0, 0, 200, 100), False, 180.0)
+    out = Hr @ np.array([30.0, 40.0, 0.0, 1.0])
+    assert np.allclose(out[:2], [170, 60], atol=1e-9)
+
+
+# ---------------- bbox processors ----------------
+
+def _clip_frames(t=3, n_cam=2, n_box=2):
+    frames = []
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 100.0
+    K[0, 2], K[1, 2] = 200.0, 100.0
+    # cam 0 looks at +x (lidar) -> z_cam = x_lidar; cam 1 looks at -x
+    l2c0 = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+                    np.float64)
+    l2c1 = np.array([[0, 1, 0, 0], [0, 0, -1, 0], [-1, 0, 0, 0], [0, 0, 0, 1]],
+                    np.float64)
+    for ti in range(t):
+        boxes = np.array([[8 + ti, 0, 0, 2, 2, 2, 0],   # in front (+x)
+                          [-8 - ti, 0, 0, 2, 2, 2, 0]], np.float32)[:n_box]
+        frames.append({
+            "boxes": boxes,
+            "labels": np.arange(n_box, dtype=np.int64),
+            "tokens": [f"tok{i}" for i in range(n_box)],
+            "lidar2camera": np.stack([l2c0, l2c1][:n_cam]),
+            "lidar2image": np.stack([K @ l2c0, K @ l2c1][:n_cam]),
+            "img_aug_matrix": np.stack([np.eye(4)] * n_cam),
+        })
+    return frames
+
+
+def test_preprocess_bbox_keep_all_token_alignment_and_visibility():
+    frames = _clip_frames()
+    out = preprocess_bbox_keep_all("all-xyz", (200, 400), frames, is_train=False)
+    assert out["bboxes"].shape == (3, 1, 2, 8, 3)
+    assert out["classes"].shape == (3, 1, 2)
+    assert out["masks"].shape == (3, 2, 2)
+    # box 0 (front, +x) visible only in cam 0; box 1 only in cam 1 (3d z>0 filter)
+    assert np.all(out["masks"][:, 0] == [1, 0])
+    assert np.all(out["masks"][:, 1] == [0, 1])
+    # token slot stability across frames: slot 0 tracks tok0's moving box
+    assert np.allclose(out["bboxes"][0, 0, 0].mean(0)[0], 8, atol=1.1)
+    assert np.allclose(out["bboxes"][2, 0, 0].mean(0)[0], 10, atol=1.1)
+
+
+def test_preprocess_bbox_keep_all_drop_marks_minus_one():
+    frames = _clip_frames()
+    import random as pyrandom
+    out = preprocess_bbox_keep_all(
+        "all-xyz", (200, 400), frames, is_train=True, bbox_drop_ratio=1.0,
+        keyframe_rate=3, rng=pyrandom.Random(0))
+    # frames 1, 2 are non-keyframes -> all visible entries flipped to -1
+    assert np.all(out["masks"][0] >= 0)
+    assert np.all(out["masks"][1:] <= 0)
+    assert (out["masks"][1:] == -1).sum() > 0
+
+
+def test_preprocess_bbox_padded_processor():
+    frames = _clip_frames()
+    out = preprocess_bbox("cxyz", (200, 400), frames, is_train=False)
+    assert out["bboxes"].shape == (3, 2, 1, 4, 3)  # per-view max 1 visible box
+    assert out["masks"].dtype == bool
+    assert out["masks"].sum() == 6  # one box per view per frame
+
+
+def test_preprocess_bbox_empty():
+    frames = _clip_frames(n_box=0)
+    for f in frames:
+        f["tokens"] = []
+    assert preprocess_bbox_keep_all("all-xyz", (200, 400), frames) is None
+    assert preprocess_bbox("all-xyz", (200, 400), frames) is None
+
+
+# ---------------- collate ----------------
+
+def _full_frames(t=2, n_cam=2):
+    frames = _clip_frames(t=t, n_cam=n_cam)
+    for ti, f in enumerate(frames):
+        f["img"] = np.zeros((n_cam, 3, 32, 64), np.float32) + ti
+        f["gt_masks_bev"] = np.zeros((8, 20, 20), np.float32)
+        f["gt_aux_bev"] = None
+        f["camera_intrinsics"] = np.stack([np.eye(4, dtype=np.float32)] * n_cam)
+        f["camera2lidar"] = np.stack([np.eye(4, dtype=np.float32)] * n_cam)
+        f["next2top"] = np.eye(4, dtype=np.float32)
+        f["metas"] = {"description": f"frame {ti}"}
+    return frames
+
+
+def test_collate_single_clip_and_batch_adapter():
+    clip = collate_fn_single_clip(
+        _full_frames(), template="A driving scene. {description}",
+        frame_emb="next2top", bbox_mode="all-xyz", bbox_processor_type=2,
+        is_train=False)
+    assert clip["pixel_values"].shape == (2, 2, 3, 32, 64)
+    assert clip["bev_map_with_aux"].shape == (2, 8, 20, 20)
+    assert clip["camera_param"].shape == (2, 2, 3, 7)
+    assert clip["frame_emb"].shape == (2, 4, 4)
+    assert clip["captions"][0] == "A driving scene. frame 0"
+    clip["fps"] = 12
+
+    batch = collate_clips([clip, clip])
+    assert batch["pixel_values"].shape == (2, 2, 2, 3, 32, 64)
+    assert batch["bboxes_3d_data"]["bboxes"].shape[0] == 2
+
+    model_batch = clip_to_model_batch(batch)
+    assert model_batch["x"].shape == (4, 3, 2, 32, 64)  # (B*NC, C, T, H, W)
+    assert model_batch["cams"].shape == (4, 2, 1, 3, 7)
+    assert model_batch["rel_pos"].shape == (4, 2, 1, 4, 4)
+    assert model_batch["bbox"]["bboxes"].shape[:2] == (4, 2)
+    assert model_batch["bbox"]["masks"].shape == (4, 2, 2)
+    assert "box_latent" not in model_batch["bbox"]
+
+    # sample_id models need per-instance latents shared across views and time
+    # (reference add_box_latent, train_magicdrive.py:500)
+    mb = clip_to_model_batch(batch, box_latent_dim=16,
+                             rng=np.random.default_rng(0))
+    lat = mb["bbox"]["box_latent"]
+    assert lat.shape == (4, 2, 2, 16)
+    lat = lat.reshape(2, 2, 2, 2, 16)  # (B, NC, T, L, D)
+    assert np.allclose(lat[:, 0, 0], lat[:, 1, 1])  # same instance, any view/frame
+
+
+# ---------------- samplers ----------------
+
+def test_bucket_sampler_static_shape_batches_and_resume():
+    buckets = OrderedDict([
+        ("224-400-12-9", list(range(10))),
+        ("224-400-12-17", list(range(7))),
+    ])
+    cfg = {"224-400-12-9": 2, "224-400-12-17": 3}
+    s = BucketSampler(buckets, cfg, num_replicas=2, rank=0, seed=3)
+    batches = list(s)
+    assert all(len(set(i.split("-", 1)[1] for i in b)) == 1 for b in batches)
+    sizes = {b[0].split("-", 1)[1]: len(b) for b in batches}
+    assert sizes["224-400-12-9"] == 2 and sizes.get("224-400-12-17", 3) == 3
+
+    # deterministic across ranks: rank 1 sees the same access order
+    s0 = BucketSampler(buckets, cfg, num_replicas=2, rank=0, seed=3)
+    s1 = BucketSampler(buckets, cfg, num_replicas=2, rank=1, seed=3)
+    b0, b1 = list(s0), list(s1)
+    assert len(b0) == len(b1)
+
+    # resume: consume 2 steps, save, reload -> identical remainder
+    s2 = BucketSampler(buckets, cfg, num_replicas=2, rank=0, seed=3)
+    it = iter(s2)
+    first_two = [next(it), next(it)]
+    state = s2.state_dict(num_steps=2)
+    s3 = BucketSampler(buckets, cfg, num_replicas=2, rank=0, seed=3)
+    s3.load_state_dict(state)
+    resumed = list(s3)
+    assert first_two + resumed == list(
+        BucketSampler(buckets, cfg, num_replicas=2, rank=0, seed=3))
+
+
+def test_bucket_sampler_drops_minus_one():
+    buckets = OrderedDict([("a", list(range(4))), ("b", list(range(4)))])
+    s = BucketSampler(buckets, {"a": 2, "b": -1})
+    assert all(i.endswith("-a") for b in s for i in b)
+
+
+def test_stateful_sampler_resume():
+    s = StatefulSampler(10, num_replicas=2, rank=0, seed=1)
+    full = list(s)
+    s2 = StatefulSampler(10, num_replicas=2, rank=0, seed=1)
+    s2.load_state_dict(s2.state_dict(step=2))
+    assert list(s2) == full[2:]
+
+
+# ---------------- BEV ----------------
+
+def test_one_hot_roundtrip():
+    rng = np.random.default_rng(0)
+    masks = rng.integers(0, 2, (8, 16, 16)).astype(np.uint8)
+    assert np.array_equal(one_hot_decode(one_hot_encode(masks), 8), masks)
+
+
+def test_bev_dynamic_and_aux():
+    bev = LoadBEVSegmentation(
+        dataset_root="", xbound=(-50, 50, 0.5), ybound=(-50, 50, 0.5),
+        classes=[f"c{i}" for i in range(8)], object_classes=["car", "truck"],
+        aux_data=["visibility", "center_offset", "center_ohw", "height"])
+    data = {
+        "token": "x", "boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.3]], np.float32),
+        "labels": np.array([0]), "visibility": np.array([2.0]),
+        "lidar2ego": np.eye(4), "ego2global": np.eye(4),
+    }
+    out = bev(data)
+    assert out["gt_masks_bev"].shape == (10, 200, 200)
+    assert out["gt_aux_bev"].shape == (8, 200, 200)
+    # the car channel has the box footprint near the canvas center
+    assert out["gt_masks_bev"][8].sum() > 10
+    assert out["gt_masks_bev"][9].sum() == 0
+    # aux visibility channel painted with the box's visibility value
+    assert out["gt_aux_bev"][0].max() == pytest.approx(2.0)
+    # height channel = dz
+    assert out["gt_aux_bev"][7].max() == pytest.approx(1.5)
