@@ -1,0 +1,331 @@
+"""BrushNet pedestrian-inpainting variants of MagicDriveSTDiT3.
+
+Re-design of the reference fork's inpainting branch (reference
+magicdrivedit/models/magicdrive/magicdrive_stdit3.py:1247-2470):
+
+- ShallowEncoder (:1247-1308): lightweight trainable VAE stand-in for the inpaint
+  frames (8x spatial, 4x+1 -> x+1 temporal).
+- MagicDriveSTDiT3BrushNet (:1311-1867): full-depth (28 s + 28 t) zero-init control
+  branch fed by patchified cat[x, shallow(x_inpaint), mask_inpaint]; per-block
+  after_proj skips added into the base stream.
+- MagicDriveSTDiT3SDEBrushNet (:1870-2470): independent inpaint timestep via
+  t_inpaint_block + t_combine_block (12h -> 6h) feeding ONLY the brushnet blocks, and
+  phase-preserving FFT structured noise mixed into the shallow-encoded latents
+  (ops/structured_noise.py).
+
+The 28-deep three-branch stack runs as two nn.scan segments like the base model (13
+ctrl groups with base/control/brushnet blocks + 15 plain groups with base/brushnet),
+so XLA compiles one layer body per segment.
+
+LoRA on the base blocks is functional here (training/lora.py): a separate low-rank
+param tree merged into the frozen base weights inside the loss function, instead of
+the reference's nn.Linear monkey-patching (:1398-1464) — weight-space merging is the
+idiomatic JAX shape for adapters and keeps every module unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.structured_noise import generate_structured_noise
+from ...parallel.sharding import DP_AXIS, SP_AXIS, shard_hint
+from ...registry import MODELS
+from ..layers.blocks import PatchEmbed3D, xavier_uniform
+from .stdit3 import (MagicDriveSTDiT3, MagicDriveSTDiT3Config, MVSTDiTBlock, _scan)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BrushNetConfig(MagicDriveSTDiT3Config):
+    brushnet_skip_cross_attn: bool = True
+    sde_inpaint: bool = False  # SDE variant: independent t_inpaint
+    structured_noise_r0: float = 4.0
+    structured_noise_transition: float = 2.0
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "BrushNetConfig":
+        d = dict(d)
+        for k in ("use_lora_base_blocks", "lora_rank", "lora_alpha", "lora_dropout",
+                  "only_train_extra_blocks"):
+            d.pop(k, None)  # handled functionally by training/lora.py + masks
+        base = MagicDriveSTDiT3Config.from_dict.__func__(cls, d)
+        return base
+
+
+class ShallowEncoder(nn.Module):
+    """(reference ShallowEncoder, magicdrive_stdit3.py:1247-1308).
+    (B, 3, 4t+1, 8h, 8w) -> (B, out_channels, t+1, h, w). The reference chunks the
+    batched 2D convs to dodge CUDA OOM; XLA handles the full batch."""
+    out_channels: int = 4
+    temporal_downsample: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, C, T, H, W = x.shape
+        h = x.transpose(0, 2, 3, 4, 1).reshape(B * T, H, W, C).astype(self.dtype)
+        for i, (ch, stride) in enumerate(((64, 2), (128, 2), (256, 2))):
+            h = nn.Conv(ch, (3, 3), strides=stride, padding=1, dtype=self.dtype,
+                        name=f"conv{i + 1}")(h)
+            h = jax.nn.relu(h)
+        h = nn.Conv(self.out_channels, (3, 3), strides=1, padding=1, dtype=self.dtype,
+                    name="conv4")(h)
+        Hs, Ws = h.shape[1], h.shape[2]
+        h = h.reshape(B, T, Hs, Ws, self.out_channels).transpose(0, 2, 3, 1, 4)
+        h = h.reshape(B * Hs * Ws, T, self.out_channels)  # conv over time only
+        td = self.temporal_downsample
+        h = jnp.pad(h, ((0, 0), (td // 2, td // 2), (0, 0)))[:, :, None, :]
+        h = nn.Conv(self.out_channels, (td + 1, 1), strides=(td, 1), padding="VALID",
+                    dtype=self.dtype, name="temporal_conv")(h)[:, :, 0]
+        To = h.shape[1]
+        h = h.reshape(B, Hs, Ws, To, self.out_channels).transpose(0, 4, 3, 1, 2)
+        return h  # (B, C_out, T', H/8, W/8)
+
+
+class BrushCtrlLayerGroup(nn.Module):
+    """Scanned step for depths [0, control_depth): base_s -> control_s -> brushnet_s
+    (+skips) -> base_t -> [control_t] -> brushnet_t (+skips) (reference
+    :1691-1781)."""
+    cfg: BrushNetConfig
+
+    @nn.compact
+    def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn):
+        cfg = self.cfg
+        x, c, xi = carry
+        common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
+                      mlp_ratio=cfg.mlp_ratio, qk_norm=cfg.qk_norm,
+                      neighbors=cfg.mv_order_map, dtype=cfg.dtype)
+        brush = dict(common, is_control_block=True,
+                     skip_cross_attn=cfg.brushnet_skip_cross_attn)
+        x = MVSTDiTBlock(**common, name="base_s")(x, y, t, x_mask, t0)
+        c, c_skip = MVSTDiTBlock(**common, is_control_block=True,
+                                 skip_cross_view=cfg.control_skip_cross_view,
+                                 name="control_s")(c, y, t, x_mask, t0)
+        xi, xi_skip = MVSTDiTBlock(**brush,
+                                   skip_cross_view=cfg.control_skip_cross_view,
+                                   name="brushnet_s")(xi, y, t_bn, x_mask, t0_bn)
+        x = x + c_skip + xi_skip
+        if cfg.with_temp_block:
+            x = MVSTDiTBlock(**common, temporal=True, zero_out_projs=True,
+                             name="base_t")(x, y, t, x_mask, t0)
+        if not cfg.control_skip_temporal:
+            c, c_skip = MVSTDiTBlock(**common, temporal=True, is_control_block=True,
+                                     name="control_t")(c, y, t, x_mask, t0)
+            x = x + c_skip
+        xi, xi_skip = MVSTDiTBlock(**brush, temporal=True,
+                                   name="brushnet_t")(xi, y, t_bn, x_mask, t0_bn)
+        x = x + xi_skip
+        return (x, c, xi), None
+
+
+class BrushPlainLayerGroup(nn.Module):
+    """Scanned step for depths [control_depth, depth): base_s -> brushnet_s -> base_t
+    -> brushnet_t (+skips) (reference :1782-1842)."""
+    cfg: BrushNetConfig
+
+    @nn.compact
+    def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn):
+        cfg = self.cfg
+        x, xi = carry
+        common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
+                      mlp_ratio=cfg.mlp_ratio, qk_norm=cfg.qk_norm,
+                      neighbors=cfg.mv_order_map, dtype=cfg.dtype)
+        brush = dict(common, is_control_block=True,
+                     skip_cross_attn=cfg.brushnet_skip_cross_attn)
+        x = MVSTDiTBlock(**common, name="base_s")(x, y, t, x_mask, t0)
+        xi, xi_skip = MVSTDiTBlock(**brush,
+                                   skip_cross_view=cfg.control_skip_cross_view,
+                                   name="brushnet_s")(xi, y, t_bn, x_mask, t0_bn)
+        x = x + xi_skip
+        if cfg.with_temp_block:
+            x = MVSTDiTBlock(**common, temporal=True, zero_out_projs=True,
+                             name="base_t")(x, y, t, x_mask, t0)
+            xi, xi_skip = MVSTDiTBlock(**brush, temporal=True,
+                                       name="brushnet_t")(xi, y, t_bn, x_mask, t0_bn)
+            x = x + xi_skip
+        return (x, xi), None
+
+
+@MODELS.register_module("MagicDriveSTDiT3BrushNet")
+class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
+    """(reference MagicDriveSTDiT3BrushNet, magicdrive_stdit3.py:1311-1867)."""
+    cfg: BrushNetConfig
+
+    def setup(self):
+        self._setup_embedders()
+        self._setup_final()
+        cfg = self.cfg
+        self.shallow_encoder = ShallowEncoder(out_channels=cfg.in_channels,
+                                              temporal_downsample=4, dtype=cfg.dtype,
+                                              name="shallow_encoder")
+        self.x_brushnet_embedder = PatchEmbed3D(cfg.patch_size, cfg.hidden_size,
+                                                dtype=cfg.dtype,
+                                                name="x_brushnet_embedder")
+        self.brush_ctrl_layers = _scan(BrushCtrlLayerGroup, cfg, cfg.control_depth,
+                                       "brush_ctrl_layers", num_args=7)
+        self.brush_plain_layers = _scan(BrushPlainLayerGroup, cfg,
+                                        cfg.depth - cfg.control_depth,
+                                        "brush_plain_layers", num_args=7)
+        if cfg.sde_inpaint:
+            self.t_inpaint_block = nn.Dense(6 * cfg.hidden_size, dtype=cfg.dtype,
+                                            kernel_init=xavier_uniform,
+                                            name="t_inpaint_block_1")
+            self.t_combine_block = nn.Dense(6 * cfg.hidden_size, dtype=cfg.dtype,
+                                            kernel_init=xavier_uniform,
+                                            name="t_combine_block_1")
+
+    def encode_inpaint(self, x_inpaint, mask_inpaint, latent_shape):
+        """Shallow-encode inpaint pixels; resize the pixel mask trilinearly to the
+        latent grid (reference :1517-1532)."""
+        xi = self.shallow_encoder(x_inpaint)
+        mask = jax.image.resize(
+            mask_inpaint, mask_inpaint.shape[:2] + tuple(latent_shape),
+            method="trilinear")
+        return xi, mask
+
+    def __call__(self, x, timestep, y, maps, bbox, cams, rel_pos, fps,
+                 height: float, width: float, x_inpaint=None, mask_inpaint=None,
+                 drop_cond_mask=None, drop_frame_mask=None, x_mask=None,
+                 t_inpaint=None, num_timesteps: float = 1000.0,
+                 noise_inpaint=None, rngs_key: Optional[jax.Array] = None):
+        """Forward (reference :1466-1867; SDE :1977-2470). x_inpaint: (b, 3*NC, T_img,
+        H, W) pixels; mask_inpaint: (b, NC, T_img, H, W) in [0, 1]."""
+        cfg = self.cfg
+        NC = cfg.nc
+        dt = cfg.dtype
+        b = x.shape[0]
+        B = b * NC
+        T_img = rel_pos.shape[1]
+        if drop_cond_mask is None:
+            drop_cond_mask = jnp.ones((b,), jnp.float32)
+        if drop_frame_mask is None:
+            drop_frame_mask = jnp.ones((b, T_img), jnp.float32)
+
+        C_in = cfg.in_channels
+        _, _, Tx, Hx, Wx = x.shape
+        x = x.reshape(b, C_in, NC, Tx, Hx, Wx).transpose(0, 2, 1, 3, 4, 5)
+        x = x.reshape(B, C_in, Tx, Hx, Wx).astype(dt)
+
+        xi_px = x_inpaint.reshape(b, 3, NC, *x_inpaint.shape[2:]).transpose(
+            0, 2, 1, 3, 4, 5).reshape(B, 3, *x_inpaint.shape[2:]).astype(dt)
+        mi = mask_inpaint.reshape(B, 1, *mask_inpaint.shape[2:]).astype(dt)
+        xi_enc, mi = self.encode_inpaint(xi_px, mi, (Tx, Hx, Wx))
+
+        if cfg.sde_inpaint:
+            assert t_inpaint is not None, "SDE variant needs t_inpaint"
+            if noise_inpaint is None:
+                assert rngs_key is not None
+                flat = xi_enc.reshape(B * xi_enc.shape[1] * Tx, Hx, Wx)
+                noise_inpaint = generate_structured_noise(
+                    flat, rngs_key, cutoff_radius=cfg.structured_noise_r0,
+                    transition_width=cfg.structured_noise_transition
+                ).reshape(xi_enc.shape)
+            # rectified-flow mix at the independent inpaint timestep (:2110-2114)
+            tp = 1.0 - jnp.repeat(t_inpaint, NC, axis=0).astype(jnp.float32) / num_timesteps
+            tp = tp.reshape(-1, 1, 1, 1, 1)
+            xi_enc = (tp * xi_enc.astype(jnp.float32)
+                      + (1 - tp) * noise_inpaint.astype(jnp.float32)).astype(dt)
+
+        T, H, W = self.get_dynamic_size((Tx, Hx, Wx))
+        from ...parallel.sharding import sp_size
+        h_pad_size = 0
+        pad_to = cfg.force_pad_h_for_sp_size
+        if pad_to is None and cfg.enable_sequence_parallelism:
+            pad_to = sp_size()
+        if pad_to and (H * W) % pad_to != 0:
+            h_pad_size = pad_to - H % pad_to
+        if h_pad_size > 0:
+            hx_pad = h_pad_size * cfg.patch_size[1]
+            pad5 = ((0, 0), (0, 0), (0, 0), (0, hx_pad), (0, 0))
+            x = jnp.pad(x, pad5)
+            xi_enc = jnp.pad(xi_enc, pad5)
+            mi = jnp.pad(mi, pad5)
+            H += h_pad_size
+        S = H * W
+
+        from ..layers.blocks import pos_embedding_2d
+        base_size = round(S ** 0.5)
+        scale = math.sqrt(height * width) / cfg.input_sq_size
+        pos_emb = pos_embedding_2d(cfg.hidden_size, H, W, scale=scale,
+                                   base_size=base_size).astype(dt)
+
+        t_emb = self.t_embedder(timestep.astype(dt))
+        fps_emb = self.fps_embedder(jnp.asarray(fps).reshape(-1, 1).astype(dt), b)
+        t_emb = t_emb + fps_emb
+        t_mlp = self.t_block(jax.nn.silu(t_emb))
+        t0_emb = t0_mlp = None
+        if x_mask is not None:
+            t0_emb = self.t_embedder(jnp.zeros_like(timestep).astype(dt)) + fps_emb
+            t0_mlp = self.t_block(jax.nn.silu(t0_emb))
+
+        if cfg.sde_inpaint:
+            ti_emb = self.t_embedder(t_inpaint.astype(dt)) + fps_emb
+            ti_mlp = self.t_inpaint_block(jax.nn.silu(ti_emb))
+            t_bn = self.t_combine_block(
+                jax.nn.silu(jnp.concatenate([t_mlp, ti_mlp], axis=-1)))
+            t0_bn = None
+            if x_mask is not None:
+                t0i_mlp = self.t_inpaint_block(jax.nn.silu(t0_emb))
+                t0_bn = self.t_combine_block(
+                    jax.nn.silu(jnp.concatenate([t0_mlp, t0i_mlp], axis=-1)))
+        else:
+            t_bn, t0_bn = t_mlp, t0_mlp
+
+        y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
+                                           drop_cond_mask, drop_frame_mask)
+        if y_cond.shape[1] != T and y_cond.shape[1] > 1:
+            y_cond = jax.image.resize(
+                y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
+        c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
+        c_map = c_map.reshape(B, T, S, -1)
+
+        x_b = self.x_embedder(x).reshape(B, T, S, -1) + pos_emb.reshape(1, 1, S, -1)
+        if cfg.use_x_control_embedder:
+            x_c = self.x_control_embedder(x).reshape(B, T, S, -1) \
+                + pos_emb.reshape(1, 1, S, -1)
+        else:
+            x_c = x_b
+        xi_tok = self.x_brushnet_embedder(
+            jnp.concatenate([x, xi_enc, mi], axis=1)).reshape(B, T, S, -1)
+        xi_tok = xi_tok + pos_emb.reshape(1, 1, S, -1)
+
+        c = x_c + self.before_proj(c_map)
+        x = x_b
+        x = shard_hint(x, {0: DP_AXIS, 2: SP_AXIS})
+        c = shard_hint(c, {0: DP_AXIS, 2: SP_AXIS})
+        xi_tok = shard_hint(xi_tok, {0: DP_AXIS, 2: SP_AXIS})
+
+        x_mask_rep = None
+        if x_mask is not None:
+            x_mask_rep = jnp.repeat(x_mask.astype(bool), NC, axis=0)
+
+        (x, c, xi_tok), _ = self.brush_ctrl_layers(
+            (x, c, xi_tok), None, y_cond, t_mlp, t_bn, x_mask_rep, t0_mlp, t0_bn)
+        (x, xi_tok), _ = self.brush_plain_layers(
+            (x, xi_tok), None, y_cond, t_mlp, t_bn, x_mask_rep, t0_mlp, t0_bn)
+
+        x = x.reshape(B, T * S, -1)
+        t_fin = jnp.repeat(t_emb, NC, axis=0)
+        t0_fin = None if t0_emb is None else jnp.repeat(t0_emb, NC, axis=0)
+        x = self.final_layer(x, t_fin, x_mask_rep, t0_fin, T, S)
+        x = self.unpatchify(x, T, H, W, Tx, Hx, Wx)
+
+        x = x.astype(jnp.float32)
+        C_out = cfg.out_channels
+        x = x.reshape(b, NC, C_out, Tx, Hx, Wx).transpose(0, 2, 1, 3, 4, 5)
+        return x.reshape(b, C_out * NC, Tx, Hx, Wx)
+
+
+@MODELS.register_module("MagicDriveSTDiT3SDEBrushNet")
+class MagicDriveSTDiT3SDEBrushNet(MagicDriveSTDiT3BrushNet):
+    """SDE variant — independent inpaint timestep + structured noise. Construct with
+    cfg.sde_inpaint=True; registered separately to mirror the reference factory names
+    (reference :2590+)."""
+    pass

@@ -327,7 +327,7 @@ class PlainLayerGroup(nn.Module):
         return x, None
 
 
-def _scan(module_cls, cfg, length, name):
+def _scan(module_cls, cfg, length, name, num_args: int = 5):
     target = module_cls
     if cfg.grad_checkpoint:
         target = nn.remat(target, prevent_cse=False)
@@ -335,7 +335,7 @@ def _scan(module_cls, cfg, length, name):
         target,
         variable_axes={"params": 0},
         split_rngs={"params": True},
-        in_axes=(nn.broadcast,) * 5,
+        in_axes=(nn.broadcast,) * num_args,
         length=length,
         metadata_params={nn.meta.PARTITION_NAME: None},
     )(cfg=cfg, name=name)
@@ -347,6 +347,20 @@ class MagicDriveSTDiT3(nn.Module):
     cfg: MagicDriveSTDiT3Config
 
     def setup(self):
+        self._setup_embedders()
+        cfg = self.cfg
+        self.ctrl_layers = _scan(CtrlLayerGroup, cfg, cfg.control_depth, "ctrl_layers")
+        self.plain_layers = _scan(PlainLayerGroup, cfg, cfg.depth - cfg.control_depth,
+                                  "plain_layers")
+        self._setup_final()
+
+    def _setup_final(self):
+        cfg = self.cfg
+        self.final_layer = T2IFinalLayer(cfg.hidden_size, int(np.prod(cfg.patch_size)),
+                                         cfg.out_channels, dtype=cfg.dtype,
+                                         name="final_layer")
+
+    def _setup_embedders(self):
         cfg = self.cfg
         hidden, patch = cfg.hidden_size, cfg.patch_size
         dt = cfg.dtype
@@ -384,12 +398,6 @@ class MagicDriveSTDiT3(nn.Module):
             patch, hidden, dtype=dt, name="controlnet_cond_patchifier")
         self.before_proj = nn.Dense(hidden, dtype=dt, kernel_init=zeros_init,
                                     bias_init=zeros_init, name="before_proj")
-
-        self.ctrl_layers = _scan(CtrlLayerGroup, cfg, cfg.control_depth, "ctrl_layers")
-        self.plain_layers = _scan(PlainLayerGroup, cfg, cfg.depth - cfg.control_depth,
-                                  "plain_layers")
-        self.final_layer = T2IFinalLayer(hidden, int(np.prod(patch)), cfg.out_channels,
-                                         dtype=dt, name="final_layer")
 
     # ------------------------------------------------------------------
     # embedding helpers (reference magicdrive_stdit3.py:861-1007)

@@ -202,6 +202,97 @@ class RFLOW_SLICE(RFLOW):
     slice_cfg: bool = True
 
 
+@SCHEDULERS.register_module("rflow-brushnet")
+@SCHEDULERS.register_module("rflow-brushnet-slice")
+@dataclasses.dataclass
+class RFLOW_BRUSHNET(RFLOW):
+    """BrushNet training/sampling (reference RFlowSchedulerBrushNet,
+    rectified_flow.py:177-247; RFLOW_BRUSHNET rf/__init__.py:121-262). Inpaint inputs
+    ride inside predict_fn/model_fn closures; at inference `inpaint_noise_scale`
+    selects the fixed t_inpaint the pipeline feeds the SDE model."""
+    inpaint_noise_scale: float = 0.0
+
+
+@SCHEDULERS.register_module("rflow-sdebrushnet")
+@SCHEDULERS.register_module("rflow-sdebrushnet-slice")
+@dataclasses.dataclass
+class RFLOW_SDEBRUSHNET(RFLOW_BRUSHNET):
+    """SDE-BrushNet: independent inpaint timestep (reference
+    RFlowSchedulerSDEBrushNet, rectified_flow.py:250-332)."""
+
+    def training_losses(self, model_fn: Callable, rng: jax.Array,
+                        x_start: jnp.ndarray, *, height, width, num_frames,
+                        mask: Optional[jnp.ndarray] = None,
+                        noise: Optional[jnp.ndarray] = None,
+                        t: Optional[jnp.ndarray] = None,
+                        t_inpaint: Optional[jnp.ndarray] = None
+                        ) -> Dict[str, jnp.ndarray]:
+        """model_fn(x_t, t, x_mask, t_inpaint) -> velocity; t_inpaint sampled
+        independently of t (reference rectified_flow.py:279-290)."""
+        t_key, ti_key, n_key = jax.random.split(rng, 3)
+        b = x_start.shape[0]
+        if t is None:
+            t = self.sample_t(t_key, b, height=height, width=width,
+                              num_frames=num_frames)
+        if t_inpaint is None:
+            t_inpaint = self.sample_t(ti_key, b, height=height, width=width,
+                                      num_frames=num_frames)
+        if noise is None:
+            noise = jax.random.normal(n_key, x_start.shape, x_start.dtype)
+        x_t = add_noise(x_start, noise, t, self.num_timesteps)
+        if mask is not None:
+            x_t0 = add_noise(x_start, noise, jnp.zeros_like(t), self.num_timesteps)
+            x_t = jnp.where(mask[:, None, :, None, None], x_t, x_t0)
+        velocity_pred = model_fn(x_t, t, mask, t_inpaint)
+        target = x_start - noise
+        loss = mean_flat(
+            (velocity_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
+            mask=mask)
+        return {"loss": loss, "t": t, "t_inpaint": t_inpaint}
+
+
+@SCHEDULERS.register_module("rflow-slice-repaint")
+@dataclasses.dataclass
+class RFLOW_SLICE_REPAINT(RFLOW):
+    """RePaint-style latent inpainting (reference rf/__init__.py:780-888): after each
+    Euler step, while t >= ignore_mask_timestep*T, the masked (known) region is
+    re-injected as reference latents noised to the NEXT timestep."""
+    slice_cfg: bool = True
+    ignore_mask_timestep: float = 0.0
+
+    def sample_repaint(self, predict_fn: Callable, ref_z: jnp.ndarray,
+                       mask: jnp.ndarray, *, height, width, num_frames,
+                       rng: jax.Array,
+                       ignore_mask_timestep: Optional[float] = None) -> jnp.ndarray:
+        """mask: same shape as ref_z; 1 = known region pinned to (noised) reference.
+        Initial z is fresh noise (reference :829-832)."""
+        imt = (self.ignore_mask_timestep if ignore_mask_timestep is None
+               else ignore_mask_timestep)
+        B = ref_z.shape[0]
+        ts, dts = self.prepare_timesteps(B, height=height, width=width,
+                                         num_frames=num_frames)
+        next_ts = jnp.concatenate([ts[1:], jnp.zeros_like(ts[-1:])], axis=0)
+        z_key, rng = jax.random.split(rng)
+        z0 = jax.random.normal(z_key, ref_z.shape, ref_z.dtype)
+        keys = jax.random.split(rng, self.num_sampling_steps)
+        x_mask_all = jnp.ones((B, ref_z.shape[2]), bool)
+
+        def step(z, inp):
+            t, dt, next_t, key = inp
+            v = predict_fn(z, t, x_mask_all)
+            z = z + v * dt.reshape((-1,) + (1,) * (z.ndim - 1))
+            x_noise = add_noise(ref_z, jax.random.normal(key, ref_z.shape,
+                                                         ref_z.dtype),
+                                next_t, self.num_timesteps)
+            reinject = (t[0] >= imt * self.num_timesteps)
+            z_reinj = x_noise * mask + z * (1 - mask)
+            z = jnp.where(reinject, z_reinj, z)
+            return z, None
+
+        z, _ = jax.lax.scan(step, z0, (ts, dts, next_ts, keys))
+        return z
+
+
 def build_scheduler(cfg: dict):
     cfg = dict(cfg)
     kind = cfg.pop("type")

@@ -1,0 +1,189 @@
+"""BrushNet variants: ShallowEncoder, forward shapes, SDE timestep path, structured
+noise, functional LoRA, schedulers."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magicdrive_v2_tpu.models.magicdrive.brushnet import (
+    BrushNetConfig, MagicDriveSTDiT3BrushNet, ShallowEncoder)
+from magicdrive_v2_tpu.ops.structured_noise import (generate_structured_noise,
+                                                    sample_cutoff_radius)
+from magicdrive_v2_tpu.schedulers.rf import (RFLOW_SDEBRUSHNET,
+                                             RFLOW_SLICE_REPAINT, add_noise)
+from magicdrive_v2_tpu.training.lora import (DEFAULT_LORA_TARGETS, init_lora,
+                                             lora_trainable_mask, merge_lora)
+
+
+def _brush_cfg(sde=False):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship_config
+    base = _flagship_config(tiny=True, dtype=jnp.float32)
+    return BrushNetConfig(**{**dataclasses.asdict(base), "sde_inpaint": sde,
+                             "grad_checkpoint": False})
+
+
+def _brush_batch(cfg, b=1, t_img=9, h=32, w=40, seed=0):
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+    rng = np.random.default_rng(seed)
+    batch = synthetic_batch(cfg, num_frames=t_img, height=h, width=w, l_txt=8, b=b,
+                            map_size=(8, 40, 40))
+    batch.pop("height"), batch.pop("width")
+    nc = cfg.nc
+    batch["x_inpaint"] = jnp.asarray(
+        rng.standard_normal((b, 3 * nc, t_img, h, w), np.float32))
+    batch["mask_inpaint"] = jnp.asarray(
+        rng.integers(0, 2, (b, nc, t_img, h, w)).astype(np.float32))
+    return batch
+
+
+def test_shallow_encoder_shapes(rng):
+    enc = ShallowEncoder(out_channels=16)
+    x = jnp.ones((2, 3, 9, 32, 40))
+    params = enc.init(rng, x)
+    out = enc.apply(params, x)
+    # 4t+1=9 -> t+1=3 latent frames; 8x spatial
+    assert out.shape == (2, 16, 3, 4, 5)
+
+
+def test_brushnet_forward(rng):
+    cfg = _brush_cfg(sde=False)
+    model = MagicDriveSTDiT3BrushNet(cfg)
+    batch = _brush_batch(cfg)
+    params = model.init(rng, **batch, height=32.0, width=40.0)
+    # param tree: brushnet scan groups present, base scan groups absent
+    top = set(params["params"].keys())
+    assert "brush_ctrl_layers" in top and "brush_plain_layers" in top
+    assert "ctrl_layers" not in top and "plain_layers" not in top
+    assert "shallow_encoder" in top and "x_brushnet_embedder" in top
+    assert "t_inpaint_block_1" not in top
+
+    out = model.apply(params, **batch, height=32.0, width=40.0)
+    assert out.shape == (1, cfg.out_channels * cfg.nc, 3, 4, 5)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_sde_brushnet_forward_and_t_inpaint_sensitivity(rng):
+    cfg = _brush_cfg(sde=True)
+    model = MagicDriveSTDiT3BrushNet(cfg)
+    batch = _brush_batch(cfg)
+    extra = dict(t_inpaint=jnp.full((1,), 300.0), rngs_key=jax.random.PRNGKey(7))
+    params = model.init(rng, **batch, height=32.0, width=40.0, **extra)
+    assert "t_inpaint_block_1" in params["params"]
+    assert "t_combine_block_1" in params["params"]
+    # brushnet skips are zero-init (ControlNet convention) -> t_inpaint is invisible
+    # at init; un-zero the after_proj of the brushnet blocks to test sensitivity
+    for grp in ("brush_ctrl_layers", "brush_plain_layers"):
+        for blk in ("brushnet_s", "brushnet_t"):
+            ap = params["params"][grp][blk]["after_proj"]
+            ap["kernel"] = jnp.ones_like(ap["kernel"]) * 0.05
+    out1 = model.apply(params, **batch, height=32.0, width=40.0, **extra)
+    out2 = model.apply(params, **batch, height=32.0, width=40.0,
+                       t_inpaint=jnp.full((1,), 900.0),
+                       rngs_key=jax.random.PRNGKey(7))
+    assert out1.shape == out2.shape
+    # independent inpaint timestep must change the prediction
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_structured_noise_properties():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((4, 32, 32)).at[:, 8:24, 8:24].set(1.0)
+    noise = generate_structured_noise(x, rng, cutoff_radius=4.0)
+    assert noise.shape == x.shape
+    # unit variance, zero mean per sample
+    assert np.allclose(np.asarray(noise.mean(axis=(1, 2))), 0, atol=1e-5)
+    assert np.allclose(np.asarray(noise.std(axis=(1, 2))), 1, atol=1e-4)
+    # low frequencies correlate with the structure more than plain noise does
+    plain = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    xc = x - x.mean()
+
+    def lowpass_corr(n):
+        nh = jnp.fft.fft2(n)
+        xh = jnp.fft.fft2(xc)
+        # correlation of the 5x5 lowest-frequency coefficients' phases
+        return float(jnp.abs((nh[:, :3, :3] * jnp.conj(xh[:, :3, :3])).sum()))
+
+    assert lowpass_corr(noise) > 2 * lowpass_corr(plain)
+    # cutoff sampling: r >= r0
+    r = sample_cutoff_radius(jax.random.PRNGKey(2))
+    assert float(r) >= 4.0
+
+
+def test_lora_init_merge_zero_delta_then_nonzero():
+    params = {"params": {"ctrl_layers": {"base_s": {"attn": {"qkv": {
+        "kernel": jnp.ones((3, 8, 24))}, "proj": {"kernel": jnp.ones((3, 8, 8))}},
+        "mlp": {"fc1": {"kernel": jnp.ones((3, 8, 32))}}}}}}
+    lora = init_lora(params, rank=2, rng=jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(lora)
+    assert leaves, "no LoRA targets matched"
+    # zero-init b => merge is identity
+    merged = merge_lora(params, lora, alpha=4.0, rank=2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(merged)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # nonzero b changes only matched leaves
+    lora2 = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), lora)
+    merged2 = merge_lora(params, lora2, alpha=4.0, rank=2)
+    qkv = merged2["params"]["ctrl_layers"]["base_s"]["attn"]["qkv"]["kernel"]
+    assert not np.allclose(np.asarray(qkv), 1.0)
+    # scan axis preserved
+    assert qkv.shape == (3, 8, 24)
+    # delta = a^T b^T * alpha/r with all-ones: each entry = rank * 1 * (4/2) = 4...
+    assert np.allclose(np.asarray(qkv), 1.0 + 2 * 4.0 / 2 * 1.0)
+
+
+def test_lora_trainable_mask():
+    params = {"params": {
+        "brush_ctrl_layers": {"brushnet_s": {"attn": {"qkv": {"kernel": jnp.ones(2)}}},
+                              "base_s": {"attn": {"qkv": {"kernel": jnp.ones(2)}}}},
+        "shallow_encoder": {"conv1": {"kernel": jnp.ones(2)}},
+        "x_embedder": {"proj": {"kernel": jnp.ones(2)}},
+    }}
+    from magicdrive_v2_tpu.training.lora import BRUSHNET_EXTRA_TRAINABLE
+    mask = lora_trainable_mask(params, BRUSHNET_EXTRA_TRAINABLE)
+    m = mask["params"]
+    assert m["brush_ctrl_layers"]["brushnet_s"]["attn"]["qkv"]["kernel"] is True
+    assert m["brush_ctrl_layers"]["base_s"]["attn"]["qkv"]["kernel"] is False
+    assert m["shallow_encoder"]["conv1"]["kernel"] is True
+    assert m["x_embedder"]["proj"]["kernel"] is False
+
+
+def test_sde_scheduler_training_losses():
+    sched = RFLOW_SDEBRUSHNET(num_timesteps=1000)
+    seen = {}
+
+    def model_fn(x_t, t, mask, t_inpaint):
+        seen["t_inpaint"] = t_inpaint
+        return jnp.zeros_like(x_t)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 3, 8, 8))
+    out = sched.training_losses(model_fn, jax.random.PRNGKey(1), x,
+                                height=32.0, width=32.0, num_frames=9.0)
+    assert out["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+    assert seen["t_inpaint"].shape == (2,)
+    # independent: t and t_inpaint differ
+    assert not np.allclose(np.asarray(out["t"]), np.asarray(out["t_inpaint"]))
+
+
+def test_repaint_sampler_pins_known_region():
+    sched = RFLOW_SLICE_REPAINT(num_sampling_steps=4, num_timesteps=1000,
+                                ignore_mask_timestep=0.0)
+    ref = jnp.ones((1, 4, 2, 8, 8))
+    mask = jnp.zeros_like(ref).at[:, :, :, :4].set(1.0)  # top half known
+
+    def predict_fn(z, t, x_mask):
+        return jnp.zeros_like(z)  # no velocity: z evolves only via re-injection
+
+    out = sched.sample_repaint(predict_fn, ref, mask, height=64.0, width=64.0,
+                               num_frames=9.0, rng=jax.random.PRNGKey(0))
+    out = np.asarray(out)
+    # with zero velocity and re-injection at every step, the known region ends at
+    # next_t=0 noise level == exactly the reference; unknown region stays noise
+    assert np.allclose(out[:, :, :, :4], 1.0, atol=1e-5)
+    assert out[:, :, :, 4:].std() > 0.5
