@@ -1,0 +1,163 @@
+"""Benchmark: 6-view 424x800 17-frame generation, per-denoise-step latency on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value = 6-view composite frames per second per chip for the full 30-step batched-CFG
+rectified-flow denoise (BASELINE.json north-star metric; VAE decode excluded).
+
+Measurement notes:
+- Steps are CHAINED inside one jitted fori_loop and synced by a device->host read of
+  the result; timing individual dispatches is unreliable through the axon TPU relay
+  (async dispatch returns before execution).
+- FLOPs are analytic (attention + matmul terms of the DiT): XLA cost_analysis counts
+  each nn.scan layer body once, undercounting the 28-deep stack ~10x.
+
+vs_baseline: the reference publishes memory and train-iteration times, not inference
+latency (BASELINE.md). We compare against an estimated H20 per-chip figure: the same
+model FLOPs at 148 TFLOP/s bf16 dense with 40% MFU — an optimistic stand-in for the
+CUDA reference on its own hardware. >1.0 means faster than that estimate.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+H20_BF16_FLOPS = 148e12
+H20_ASSUMED_MFU = 0.40
+V5E_PEAK_FLOPS = 197e12
+NUM_STEPS = 30
+NUM_FRAMES, HEIGHT, WIDTH = 17, 424, 800
+CHAINED_STEPS = 4  # timed steps fused in one executable
+
+
+def estimate_step_flops(cfg, B, T, S, L_cond, T_img) -> float:
+    """Analytic forward FLOPs for one batched-CFG model call (matmul terms only).
+
+    B = b * NC * 2(cfg); T/S latent grid after patchify; L_cond condition tokens.
+    """
+    C = cfg.hidden_size
+    N = B * T * S  # total tokens
+    f = 0.0
+    # per spatial/temporal base block: qkv 3C^2 + proj C^2 + mlp 8C^2 (MACs)
+    per_block_proj = 12 * C * C
+    # attention: 2 * seqlen * C MACs per token
+    attn_s = 2 * S * C
+    attn_t = 2 * T * C
+    # cross-attn: q C^2 + proj C^2 per token; kv 2C^2 per cond token; attn 2*L*C
+    cross = 2 * C * C + 2 * L_cond * C
+    # cross-view: qkv+proj over 2 neighbors (q duplicated) + attn 2S*C each
+    n_nbr = len(cfg.mv_order_map[0])
+    cross_view = n_nbr * (4 * C * C + 2 * S * C)
+    depth = cfg.depth
+    ctrl = cfg.control_depth
+    total_macs = 0.0
+    # base spatial blocks: proj + attn_s + cross + cross_view
+    total_macs += depth * N * (per_block_proj + attn_s + cross + cross_view)
+    # base temporal blocks: proj + attn_t + cross (no cross-view)
+    total_macs += depth * N * (per_block_proj + attn_t + cross)
+    # control spatial blocks (skip cross-view by default)
+    total_macs += ctrl * N * (per_block_proj + attn_s + cross)
+    # kv projections for cond tokens
+    total_macs += (2 * depth + ctrl) * B * T * L_cond * 2 * C * C
+    # patchify/final/map embedders (small)
+    total_macs += N * 4 * C * C
+    return 2.0 * total_macs  # MAC -> FLOP
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    if on_tpu:
+        num_frames, height, width = NUM_FRAMES, HEIGHT, WIDTH
+        cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    else:  # CI fallback so the metric line always exists
+        num_frames, height, width = 9, 64, 80
+        cfg = _flagship_config(tiny=True, dtype=jnp.float32)
+
+    model = MagicDriveSTDiT3(cfg)
+    l_txt = 60
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
+                            l_txt=l_txt, b=1,
+                            map_size=(8, 400, 400) if on_tpu else (8, 80, 80))
+    h, w = batch.pop("height"), batch.pop("width")
+    params = _fast_init(model, {**batch, "height": h, "width": w})
+    if on_tpu:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+
+    double = lambda a: jnp.concatenate([a, a], axis=0)
+    b2 = {k: jax.tree_util.tree_map(double, v) for k, v in batch.items()
+          if k not in ("x", "timestep")}
+    params = jax.device_put(params)
+    b2 = jax.device_put(b2)
+
+    def one_step(params, b2, z, t):
+        pred = model.apply(params, double(z), double(t), **b2, height=h, width=w)
+        cond, uncond = jnp.split(pred, 2, axis=0)
+        v = uncond + 2.0 * (cond - uncond)
+        return z + v.astype(z.dtype) * (1.0 / NUM_STEPS)
+
+    @jax.jit
+    def run_chain(params, b2, z, t):
+        def body(i, z):
+            return one_step(params, b2, z, t)
+        return jax.lax.fori_loop(0, CHAINED_STEPS, body, z)
+
+    z = batch["x"]
+    t = batch["timestep"]
+    out = run_chain(params, b2, z, t)
+    _ = np.asarray(out[0, 0, 0, 0, :2])  # full sync through the relay
+
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = run_chain(params, b2, z, t)
+        _ = np.asarray(out[0, 0, 0, 0, :2])
+        times.append((time.perf_counter() - t0) / CHAINED_STEPS)
+    p50 = float(np.median(times))
+
+    # analytic FLOPs for one CFG step
+    lat_t = 1 if num_frames == 1 else (num_frames - 1) // 4 + 1
+    lat_h, lat_w = height // 8, width // 8
+    T = -(-lat_t // cfg.patch_size[0])
+    S = -(-lat_h // cfg.patch_size[1]) * -(-lat_w // cfg.patch_size[2])
+    l_box = 10
+    L_cond = 2 + l_txt + l_box
+    B = cfg.nc * 2
+    flops = estimate_step_flops(cfg, B, T, S, L_cond, num_frames)
+
+    fps = num_frames / (NUM_STEPS * p50)
+    ref_step = flops / (H20_BF16_FLOPS * H20_ASSUMED_MFU)
+    ref_fps = num_frames / (NUM_STEPS * ref_step)
+    vs_baseline = fps / ref_fps
+    mfu = flops / p50 / (V5E_PEAK_FLOPS if on_tpu else 1e12)
+
+    extras = dict(platform=platform, p50_step_s=round(p50, 4),
+                  step_flops=flops, mfu_vs_peak=round(mfu, 3),
+                  shape=f"6x{height}x{width}x{num_frames}f",
+                  chained_steps=CHAINED_STEPS)
+    print(json.dumps({
+        "metric": f"6-view frames/sec/chip, {height}x{width}x{num_frames}f, "
+                  f"{NUM_STEPS}-step CFG diffusion",
+        "value": round(fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(float(vs_baseline), 4),
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

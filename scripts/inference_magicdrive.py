@@ -1,0 +1,112 @@
+"""Generation app (reference scripts/inference_magicdrive.py, 546 LoC; SURVEY.md §3.2).
+
+Flow: config -> pipeline (model + CogVAE + T5 + rflow scheduler) -> optionally load a
+converted reference checkpoint (ema.pt / .safetensors via utils/ckpt) -> per-sample
+loop: conditioning from the nuScenes val set (or synthetic), seeded latents
+(seed 1024+ns like the reference, inference_magicdrive.py:434), CFG sampling, VAE
+decode, 2x3 six-view grid save.
+
+Usage:
+  python scripts/inference_magicdrive.py configs/magicdrive/inference/XXX.py \
+      [--synthetic] [--num-samples 2] [--cfg-options key=value ...]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger("inference")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--num-frames", type=int, default=None,
+                   help="override clip length (e.g. 9 for a smoke run)")
+    p.add_argument("--ckpt-path", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from magicdrive_v2_tpu.config import Config, merge_dot_options
+    from magicdrive_v2_tpu.pipelines.magicdrive import (MagicDrivePipeline,
+                                                        synthetic_batch)
+    from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict, load_torch_file
+    from magicdrive_v2_tpu.utils.inference_utils import concat_6_views, save_sample
+
+    cfg = Config.fromfile(args.config)
+    merge_dot_options(cfg, args.cfg_options)
+
+    num_frames = args.num_frames or (17 if cfg.get("num_frames") == "full"
+                                     else cfg.get("num_frames", 17))
+    height, width = cfg.get("image_size", (224, 400))
+    out_dir = cfg.get("outputs", "outputs/inference")
+    os.makedirs(out_dir, exist_ok=True)
+
+    pipe = MagicDrivePipeline.from_config(cfg)
+    ckpt = args.ckpt_path or cfg.get("ckpt_path")
+    if ckpt and os.path.exists(ckpt):
+        logger.info("loading reference checkpoint %s", ckpt)
+        sd = load_torch_file(ckpt)
+        pipe.params = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_torch_state_dict(sd, pipe.params,
+                                     control_depth=pipe.model.cfg.control_depth,
+                                     strict=False))
+    pipe.prepare_text_embedding()
+
+    # conditioning source
+    if args.synthetic or "dataset" not in cfg:
+        def get_batch(ns):
+            b = synthetic_batch(pipe.model.cfg, num_frames=num_frames, height=height,
+                                width=width, l_txt=pipe.text_encoder.model_max_length,
+                                seed=ns)
+            b.pop("timestep")
+            return b
+        indices = list(range(args.num_samples or cfg.get("num_sample", 1)))
+    else:
+        from magicdrive_v2_tpu.datasets import clip_to_model_batch, collate_clips
+        from magicdrive_v2_tpu.registry import DATASETS, build_module
+        dataset = build_module(dict(cfg.dataset.data.val), DATASETS)
+
+        def get_batch(ns):
+            clip = dataset[cfg.validation_index[ns]]
+            batch = clip_to_model_batch(collate_clips([clip]))
+            y = pipe.text_encoder.encode(batch.pop("captions"))
+            batch["y"] = y["y"]
+            return batch
+        indices = (cfg.get("validation_index", [0]))[: args.num_samples or None]
+
+    guidance = cfg.scheduler.get("cfg_scale", 2.0)
+    for ns, _idx in enumerate(indices):
+        batch = get_batch(ns)
+        batch.pop("height", None), batch.pop("width", None)
+        rng = jax.random.PRNGKey(1024 + ns)  # reference seed contract
+        vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
+                           guidance_scale=guidance, rng=rng)
+        # vids: (b, NC, 3, T, H, W) float in [-1, 1]
+        for bi in range(vids.shape[0]):
+            grid = concat_6_views(vids[bi])  # (3, T, 2H, 3W)
+            path = os.path.join(out_dir, f"sample_{ns}_{bi}")
+            save_sample(grid, path, fps=cfg.get("save_fps", 12))
+            logger.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()

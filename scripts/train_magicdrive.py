@@ -1,0 +1,224 @@
+"""Training app (reference scripts/train_magicdrive.py, 736 LoC; SURVEY.md §3.1).
+
+Single-controller JAX: one process drives the whole (dp, sp) mesh — no torchrun.
+Flow: config -> mesh -> dataset/loader (bucketed; synthetic fallback when no
+nuScenes data is mounted) -> model + optax AdamW + EMA under FSDP sharding ->
+per-bucket compiled train steps -> checkpoint/resume via orbax honoring the
+reference's running_states/sampler/RNG contract.
+
+Usage:
+  python scripts/train_magicdrive.py configs/magicdrive/train/stage2_17f_224.py \
+      [--cfg-options key=value ...] [--synthetic]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import logging
+import os
+import random as pyrandom
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger("train")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic conditioning instead of nuScenes (smoke tests)")
+    p.add_argument("--max-steps", type=int, default=None)
+    return p.parse_args()
+
+
+def build_dataloader(cfg, dp: int, rank: int = 0):
+    from magicdrive_v2_tpu.datasets import prepare_dataloader
+    from magicdrive_v2_tpu.registry import DATASETS, build_module
+
+    dataset = build_module(dict(cfg.dataset.data.train), DATASETS)
+    return prepare_dataloader(
+        dataset, bucket_config=dict(cfg.get("bucket_config", {})),
+        batch_size=cfg.get("batch_size", 1), num_replicas=dp, rank=rank,
+        shuffle=True, seed=cfg.get("seed", 42),
+        num_workers=cfg.get("num_workers", 4))
+
+
+class SyntheticLoader:
+    """Stands in for the nuScenes loader: same batch contract, random content."""
+
+    def __init__(self, model_cfg, cfg, dp: int):
+        self.model_cfg = model_cfg
+        self.buckets = cfg.get("synthetic_buckets",
+                               [(9, 224, 400)])  # (T_img, H, W)
+        self.b = cfg.get("batch_size", 1) * dp
+        self.steps = cfg.get("synthetic_steps", 50)
+        self.rng = np.random.default_rng(cfg.get("seed", 42))
+
+    def __len__(self):
+        return self.steps
+
+    def __iter__(self):
+        from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+        for i in range(self.steps):
+            t_img, h, w = self.buckets[i % len(self.buckets)]
+            batch = synthetic_batch(self.model_cfg, num_frames=t_img, height=h,
+                                    width=w, l_txt=64, b=self.b,
+                                    map_size=(8, 200, 200),
+                                    seed=int(self.rng.integers(1 << 31)))
+            batch["num_frames"] = t_img
+            yield batch
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from magicdrive_v2_tpu.config import Config, merge_dot_options
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import (MagicDriveSTDiT3,
+                                                            build_model_config)
+    from magicdrive_v2_tpu.parallel.fsdp import shard_params
+    from magicdrive_v2_tpu.parallel.sharding import make_mesh, use_mesh
+    from magicdrive_v2_tpu.schedulers.rf import build_scheduler
+    from magicdrive_v2_tpu.training.trainer import build_training
+    from magicdrive_v2_tpu.utils.ckpt import (find_latest, load_checkpoint,
+                                              save_checkpoint)
+    from magicdrive_v2_tpu.utils.misc import Timer, format_numel_str, count_params
+    from magicdrive_v2_tpu.utils.train_utils import (MaskGenerator,
+                                                     sample_condition_dropout)
+
+    cfg = Config.fromfile(args.config)
+    merge_dot_options(cfg, args.cfg_options)
+
+    # ---- mesh ----
+    n_dev = len(jax.devices())
+    sp = min(cfg.get("sp_size", 1), n_dev)
+    dp = n_dev // sp
+    mesh = make_mesh(dp=dp, sp=sp)
+    logger.info("devices=%d mesh: dp=%d sp=%d", n_dev, dp, sp)
+
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[cfg.get("dtype", "bf16")]
+    model_cfg = build_model_config(
+        cfg.model, vae_out_channels=cfg.get("vae_out_channels", 16),
+        mv_order_map=cfg.get("mv_order_map"), dtype=dtype,
+        enable_sequence_parallelism=sp > 1,
+        force_pad_h_for_sp_size=cfg.get("force_pad_h_for_sp_size"),
+        grad_checkpoint=cfg.get("grad_checkpoint", True))
+    model = MagicDriveSTDiT3(model_cfg)
+    scheduler = build_scheduler(cfg.scheduler)
+
+    # ---- data ----
+    if args.synthetic or "dataset" not in cfg:
+        loader = SyntheticLoader(model_cfg, cfg, dp)
+        sampler = None
+    else:
+        loader, sampler = build_dataloader(cfg, dp)
+
+    # ---- init + shard ----
+    with use_mesh(mesh):
+        example = next(iter(loader))
+        example = {k: v for k, v in example.items()}
+        t_img = example.pop("num_frames")
+        height = float(example.pop("height", 224))
+        width = float(example.pop("width", 400))
+        init_keys = ("x", "y", "maps", "bbox", "cams", "rel_pos", "fps")
+        init_batch = {k: example[k] for k in init_keys if k in example}
+        params = model.init(jax.random.PRNGKey(cfg.get("seed", 42)),
+                            **init_batch, timestep=jnp.full((1,), 500.0)
+                            if "timestep" not in example else example["timestep"],
+                            height=height, width=width)
+        logger.info("model params: %s", format_numel_str(count_params(params)))
+        params, _ = shard_params(params, mesh)
+
+        state, step_fn = build_training(
+            model, scheduler, params, cfg, height=height, width=width,
+            num_frames=t_img, freeze_patterns=tuple(cfg.get("freeze_patterns", ())))
+
+        # ---- resume ----
+        exp_dir = cfg.get("outputs", "outputs/train")
+        os.makedirs(exp_dir, exist_ok=True)
+        start_step = 0
+        latest = find_latest(exp_dir)
+        if latest and cfg.get("resume", True):
+            out = load_checkpoint(latest, load_ema=True)
+            state = state.replace(params=out["params"],
+                                  ema_params=out.get("ema") or state.ema_params)
+            start_step = out["running_states"].get("step", 0)
+            if sampler is not None and "sampler" in out["running_states"]:
+                sampler.load_state_dict(out["running_states"]["sampler"])
+            logger.info("resumed from %s at step %d", latest, start_step)
+
+        # ---- loop ----
+        mask_gen = MaskGenerator(dict(cfg.get("mask_ratios", {})),
+                                 rng=pyrandom.Random(cfg.get("seed", 42)))
+        drop_cond_ratio = cfg.get("drop_cond_ratio", 0.0)
+        drop_cond_ratio_t = cfg.get("drop_cond_ratio_t", 0.0)
+        ckpt_every = cfg.get("ckpt_every", 1000)
+        log_every = cfg.get("log_every", 10)
+        rng = jax.random.PRNGKey(cfg.get("seed", 42) + 1)
+        host_rng = pyrandom.Random(cfg.get("seed", 42) + 2)
+        metrics_path = os.path.join(exp_dir, "metrics.jsonl")
+        t_start = time.time()
+
+        step = start_step
+        for epoch in range(cfg.get("epochs", 1)):
+            for batch in loader:
+                if args.max_steps is not None and step - start_step >= args.max_steps:
+                    break
+                batch = dict(batch)
+                t_img_b = batch.pop("num_frames", t_img)
+                batch.pop("height", None), batch.pop("width", None)
+                batch.pop("timestep", None), batch.pop("captions", None)
+                b = batch["x"].shape[0]
+                lat_t = batch["x"].shape[2]
+                batch["mask"] = jnp.asarray(
+                    mask_gen.get_masks(b, lat_t), jnp.float32)
+                if drop_cond_ratio > 0:
+                    dc, df = sample_condition_dropout(
+                        host_rng, b, t_img_b, drop_cond_ratio, drop_cond_ratio_t)
+                    batch["drop_cond_mask"] = jnp.asarray(dc)
+                    batch["drop_frame_mask"] = jnp.asarray(df)
+                rng, step_key = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_key)
+                step += 1
+                if step % log_every == 0:
+                    loss = float(metrics["loss"])
+                    line = {"step": step, "loss": loss,
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "elapsed_s": round(time.time() - t_start, 1)}
+                    logger.info("%s", line)
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(line) + "\n")
+                    if not np.isfinite(loss):
+                        raise FloatingPointError(f"NaN loss at step {step}")
+                if step % ckpt_every == 0:
+                    save_checkpoint(
+                        exp_dir, step, params=state.params,
+                        ema_params=state.ema_params,
+                        running_states={"epoch": epoch},
+                        sampler_state=None if sampler is None
+                        else sampler.state_dict(step))
+            if sampler is not None:
+                sampler.set_epoch(epoch + 1)
+
+        save_checkpoint(exp_dir, step, params=state.params,
+                        ema_params=state.ema_params,
+                        running_states={"epoch": cfg.get("epochs", 1)},
+                        sampler_state=None if sampler is None
+                        else sampler.state_dict(step))
+        logger.info("done at step %d", step)
+
+
+if __name__ == "__main__":
+    main()
