@@ -91,11 +91,8 @@ class LoadBEVSegmentation:
 
     @staticmethod
     def _fill_polygon(canvas: np.ndarray, poly_xy: np.ndarray, value=1):
-        from PIL import Image, ImageDraw
-        render = Image.fromarray(canvas)
-        ImageDraw.Draw(render).polygon(
-            poly_xy.round().astype(np.int32).flatten().tolist(), fill=value)
-        canvas[:] = np.asarray(render)
+        from ..native import fill_polygons
+        fill_polygons(canvas, [poly_xy], value)
 
     # -- dynamic objects (reference :458-500) --
 
@@ -104,13 +101,15 @@ class LoadBEVSegmentation:
         ch = len(self.object_classes)
         dynamic = np.zeros((ch, *self.canvas_size), np.uint8)
         if data is not None and len(data.get("boxes", ())) > 0:
+            from ..native import fill_polygons
             corners = boxes_to_corners(data["boxes"])  # (N, 8, 3)
             bottom = corners[:, _BOTTOM_CORNER_INDEX, :2]
-            canvas_pts = self._to_canvas(bottom)
+            canvas_pts = self._to_canvas(bottom).astype(np.float32)
             labels = np.asarray(data["labels"])
             for cls_id in range(ch):
-                for box in canvas_pts[labels == cls_id]:
-                    self._fill_polygon(dynamic[cls_id], box)
+                polys = list(canvas_pts[labels == cls_id])
+                if polys:
+                    fill_polygons(dynamic[cls_id], polys)
         dynamic = dynamic.transpose(0, 2, 1)
         return np.concatenate([static_label, dynamic], axis=0)
 
