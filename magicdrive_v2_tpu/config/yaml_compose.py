@@ -18,10 +18,56 @@ import yaml
 _INTERP = re.compile(r"^\$\{([^}]*)\}$")
 
 
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_yaml_config(path: str) -> dict:
+    """Load + compose. Supports the hydra `defaults:` subset the reference's dataset
+    yamls use: a list of `/dataset/NAME` parents merged in order under the current
+    doc (reference configs/dataset/*.yaml headers)."""
+    import os
+
     with open(path) as f:
         doc = yaml.safe_load(f)
+    defaults = doc.pop("defaults", None) if isinstance(doc, dict) else None
+    if defaults:
+        base: dict = {}
+        cfg_dir = os.path.dirname(os.path.abspath(path))
+        for item in defaults:
+            if isinstance(item, str):
+                name = item.split("/")[-1]
+                parent = os.path.join(cfg_dir, name + ".yaml")
+                base = _deep_merge(base, load_yaml_config_raw(parent))
+        doc = _deep_merge(base, doc)
     return resolve_interpolations(doc)
+
+
+def load_yaml_config_raw(path: str) -> dict:
+    """Compose defaults without resolving interpolations (parents may reference
+    keys the child overrides)."""
+    import os
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    defaults = doc.pop("defaults", None) if isinstance(doc, dict) else None
+    if defaults:
+        base: dict = {}
+        cfg_dir = os.path.dirname(os.path.abspath(path))
+        for item in defaults:
+            if isinstance(item, str):
+                name = item.split("/")[-1]
+                base = _deep_merge(base,
+                                   load_yaml_config_raw(os.path.join(cfg_dir,
+                                                                     name + ".yaml")))
+        doc = _deep_merge(base, doc)
+    return doc
 
 
 def _parse_ref(ref: str) -> Tuple[int, List[Any]]:
@@ -62,6 +108,9 @@ def _lookup(root: Any, node_path: List[Any], ref: str) -> Tuple[Any, List[Any]]:
     return node, norm_path
 
 
+_INTERP_PART = re.compile(r"\$\{([^}]*)\}")
+
+
 def resolve_interpolations(doc: Any) -> Any:
     def resolve(node: Any, path: List[Any]) -> Any:
         if isinstance(node, dict):
@@ -70,9 +119,14 @@ def resolve_interpolations(doc: Any) -> Any:
             return [resolve(v, path + [i]) for i, v in enumerate(node)]
         if isinstance(node, str):
             m = _INTERP.match(node)
-            if m:
+            if m:  # whole-string interpolation: keep the referenced type
                 target, target_path = _lookup(doc, path[:-1], m.group(1))
                 return resolve(target, target_path)
+            if _INTERP_PART.search(node):  # embedded: string substitution
+                def sub(match):
+                    target, target_path = _lookup(doc, path[:-1], match.group(1))
+                    return str(resolve(target, target_path))
+                return _INTERP_PART.sub(sub, node)
         return node
 
     return resolve(doc, [])

@@ -292,9 +292,9 @@ class NuScenesTDataset:
         if (self.del_box_ratio > 0 or self.allow_class is not None
                 or self.drop_nearest_car > 0):
             self.rand_del_box(examples)
-        ret = collate_fn_single_clip(examples, rng=self._rng,
-                                     is_train=not self.test_mode,
-                                     **self.img_collate_param)
+        collate_param = dict(self.img_collate_param)
+        collate_param.setdefault("is_train", not self.test_mode)
+        ret = collate_fn_single_clip(examples, rng=self._rng, **collate_param)
         if self.drop_ori_imgs:
             ret["pixel_values_shape"] = np.asarray(ret["pixel_values"].shape,
                                                    np.int32)

@@ -62,7 +62,7 @@ class ImageAug3D:
         self.final_dim = tuple(final_dim)
         self.resize_lim = tuple(resize_lim)
         self.bot_pct_lim = tuple(bot_pct_lim)
-        self.rot_lim = tuple(rot_lim)
+        self.rot_lim = tuple(rot_lim) if rot_lim else (0.0, 0.0)
         self.rand_flip = rand_flip
         self.is_train = is_train
         self.rng = rng or np.random.default_rng()
@@ -172,9 +172,55 @@ class ReorderMultiViewImages:
         return data
 
 
+class GlobalRotScaleTrans:
+    """3D augmentation on lidar boxes (reference transforms_3d.py GlobalRotScaleTrans).
+    The generation configs run it with identity ranges (scale [1,1], rot [0,0],
+    translate 0); implemented for the non-identity training case too."""
+
+    def __init__(self, resize_lim=(1.0, 1.0), rot_lim=(0.0, 0.0), trans_lim=0.0,
+                 is_train: bool = True, rng: Optional[np.random.Generator] = None):
+        self.resize_lim = tuple(resize_lim or (1.0, 1.0))
+        self.rot_lim = tuple(rot_lim or (0.0, 0.0))
+        self.trans_lim = trans_lim or 0.0
+        self.is_train = is_train
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        if not self.is_train:
+            return data
+        scale = float(self.rng.uniform(*self.resize_lim))
+        theta = float(self.rng.uniform(*self.rot_lim))
+        trans = self.rng.normal(scale=self.trans_lim, size=3) if self.trans_lim \
+            else np.zeros(3)
+        if scale == 1.0 and theta == 0.0 and not np.any(trans):
+            return data
+        boxes = np.asarray(data["boxes"], np.float32).copy()
+        if len(boxes):
+            c, s = np.cos(theta), np.sin(theta)
+            rot = np.array([[c, s], [-s, c]], np.float32)
+            boxes[:, :2] = boxes[:, :2] @ rot
+            boxes[:, 6] += theta
+            boxes[:, :6] *= scale
+            boxes[:, :3] += trans.astype(np.float32)
+            data["boxes"] = boxes
+        return data
+
+
+class Identity:
+    """Stub for reference pipeline stages our loader already folds in (image/ann
+    loading, DataContainer formatting)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, data):
+        return data
+
+
 class Compose:
     def __init__(self, transforms: Sequence):
-        self.transforms = list(transforms)
+        self.transforms = [build_transform(t) if isinstance(t, dict) else t
+                           for t in transforms]
 
     def __call__(self, data):
         for t in self.transforms:
@@ -182,3 +228,38 @@ class Compose:
             if data is None:
                 return None
         return data
+
+
+def _reorder_from_names(order):
+    """The reference's ReorderMultiViewImages takes camera names; our dataset already
+    loads views in `view_order`, so a name list is the identity here."""
+    if order and isinstance(order[0], str):
+        return Identity()
+    return ReorderMultiViewImages(order)
+
+
+def build_transform(cfg: dict):
+    """Instantiate one pipeline stage from a reference-schema dict (type=...)."""
+    from .bev import LoadBEVSegmentation
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    table = {
+        "ImageAug3D": ImageAug3D,
+        "ImageHumanMaskAug3D": ImageAug3D,  # same homography; extra keys handled
+        "ImageNormalize": ImageNormalize,
+        "ObjectNameFilter": ObjectNameFilter,
+        "GlobalRotScaleTrans": GlobalRotScaleTrans,
+        "LoadBEVSegmentation": LoadBEVSegmentation,
+        "ReorderMultiViewImages": lambda order, safe=True: _reorder_from_names(order),
+        "ReorderMultiViewImagesHumanMasks": lambda order, safe=True:
+            _reorder_from_names(order),
+        # folded into the dataset loader / collate:
+        "LoadMultiViewImageFromFiles": Identity,
+        "LoadMultiViewHumanMaskFromFiles": Identity,
+        "LoadAnnotations3D": Identity,
+        "DefaultFormatBundle3D": Identity,
+        "Collect3D": Identity,
+    }
+    if kind not in table:
+        raise KeyError(f"unknown pipeline transform {kind!r}")
+    return table[kind](**cfg)

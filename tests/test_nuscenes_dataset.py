@@ -1,0 +1,152 @@
+"""End-to-end dataset integration: synthetic on-disk nuScenes infos pkl + JPEGs ->
+composed yaml config -> NuScenesTDataset -> clip batch with all model inputs."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from magicdrive_v2_tpu.config import merge_dataset_cfg, Config
+from magicdrive_v2_tpu.config.yaml_compose import load_yaml_config
+from magicdrive_v2_tpu.datasets.nuscenes import NuScenesTDataset
+
+CAMS = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+        "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def mini_nuscenes(tmp_path_factory):
+    """Two scenes x 6 frames with real JPEG files and full pose/calib records."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("nusc")
+    rng = np.random.default_rng(0)
+    img_dir = root / "samples"
+    img_dir.mkdir()
+    infos, scene_tokens = [], []
+    ts = 0
+    for scene in range(2):
+        tokens = []
+        for fi in range(6):
+            token = f"s{scene}f{fi}" if fi % 2 == 0 else f"s{scene}f{fi};interp"
+            tokens.append(token)
+            cams = {}
+            for ci, cam in enumerate(CAMS):
+                path = img_dir / f"{token}_{cam}.jpg"
+                Image.fromarray(rng.integers(0, 255, (90, 160, 3), np.uint8)).save(path)
+                yaw = ci * np.pi / 3
+                c, s = np.cos(yaw), np.sin(yaw)
+                cams[cam] = dict(
+                    data_path=str(path),
+                    camera_intrinsics=np.array([[120.0, 0, 80], [0, 120.0, 45],
+                                                [0, 0, 1]]),
+                    sensor2lidar_rotation=np.array([[0, 0, 1], [-1, 0, 0],
+                                                    [0, -1, 0]]) @ np.array(
+                        [[c, -s, 0], [s, c, 0], [0, 0, 1]]).T,
+                    sensor2lidar_translation=np.array([1.5 * c, 1.5 * s, 1.6]),
+                    sensor2ego_rotation=[1, 0, 0, 0],
+                    sensor2ego_translation=[0, 0, 1.6],
+                )
+            n_box = 3
+            boxes = np.concatenate([
+                rng.uniform(-20, 20, (n_box, 2)), rng.uniform(-1, 0, (n_box, 1)),
+                rng.uniform(1, 4, (n_box, 3)), rng.uniform(-3, 3, (n_box, 1)),
+                np.zeros((n_box, 2)),
+            ], axis=1)
+            infos.append(dict(
+                token=token, timestamp=ts,
+                lidar_path="", sweeps=[], location="singapore-onenorth",
+                description="A sunny day with light traffic",
+                timeofday="day",
+                lidar2ego_rotation=[1, 0, 0, 0], lidar2ego_translation=[0, 0, 1.8],
+                ego2global_rotation=[np.cos(0.05 * fi), 0, 0, np.sin(0.05 * fi)],
+                ego2global_translation=[2.0 * fi, 0.1 * fi, 0],
+                cams=cams,
+                gt_boxes=boxes,
+                gt_names=np.array(["car", "truck", "pedestrian"][:n_box]),
+                gt_box_ids=[f"inst{scene}_{i}" for i in range(n_box)],
+                num_lidar_pts=np.array([5, 5, 5][:n_box]),
+                valid_flag=np.array([True] * n_box),
+            ))
+            ts += 1
+        scene_tokens.append(tokens)
+    pkl = root / "infos.pkl"
+    with open(pkl, "rb" if False else "wb") as f:
+        pickle.dump({"infos": infos, "scene_tokens": scene_tokens,
+                     "metadata": {"version": "v1.0-mini"}}, f)
+    return str(pkl)
+
+
+def test_yaml_composition():
+    cfg = load_yaml_config(os.path.join(
+        REPO, "configs/dataset/Nuscenes_400_map_cache_box_t_with_n2t_12Hz.yaml"))
+    assert cfg["image_size"] == [424, 800]
+    assert cfg["map_bound"]["x"] == [-50.0, 50.0, 0.25]  # child override
+    assert len(cfg["object_classes"]) == 10  # inherited from base
+    aug = next(t for t in cfg["train_pipeline"] if t["type"] == "ImageAug3D")
+    assert aug["final_dim"] == [424, 800]  # interpolation follows the override
+    assert aug["resize_lim"] == [0.5, 0.5]
+    ann = cfg["data"]["train"]["ann_file"]
+    assert ann.endswith("nuscenes_advanced_12Hz_infos_train_with_v.pkl")
+    assert ann.startswith("./data/nuscenes_mmdet3d-12Hz/")
+
+
+def test_merge_dataset_cfg_into_experiment():
+    cfg = Config({"num_frames": 9})
+    merge_dataset_cfg(cfg, "Nuscenes_400_map_cache_box_t_with_n2t_12Hz",
+                      overrides=(("dataset.data.val.ann_file", "/tmp/x.pkl"),
+                                 ("+dataset.data.val.start_on_firstframe", True)),
+                      search_dirs=[os.path.join(REPO, "configs/dataset")])
+    assert cfg.dataset.data.val.ann_file == "/tmp/x.pkl"
+    assert cfg.dataset.data.val.start_on_firstframe is True
+    assert cfg.dataset.image_size == [424, 800]
+
+
+def test_dataset_end_to_end(mini_nuscenes):
+    yaml_cfg = load_yaml_config(os.path.join(REPO, "configs/dataset/Nuscenes.yaml"))
+    # small final_dim to keep the test fast
+    pipeline = yaml_cfg["train_pipeline"]
+    for t in pipeline:
+        if t["type"] == "ImageAug3D":
+            t["final_dim"] = [24, 40]
+            t["resize_lim"] = [0.25, 0.25]
+        if t["type"] == "LoadBEVSegmentation":
+            t["xbound"] = [-50.0, 50.0, 1.0]
+            t["ybound"] = [-50.0, 50.0, 1.0]
+            # exercise the full dynamic+aux variant (main chain is map-only)
+            t["object_classes"] = yaml_cfg["object_classes"]
+            t["aux_data"] = yaml_cfg["aux_data"]
+    ds = NuScenesTDataset(
+        ann_file=mini_nuscenes, pipeline=pipeline, dataset_root="",
+        object_classes=yaml_cfg["object_classes"],
+        view_order=yaml_cfg["view_order"], video_length=3,
+        start_on_keyframe=True, fps=12,
+        img_collate_param=dict(
+            template=yaml_cfg["template"], frame_emb="next2top",
+            bbox_mode="all-xyz", bbox_processor_type=2, is_train=True))
+    # 2 scenes x 6 frames, clips of 3, keyframe starts only (even indices, and the
+    # clip must fit) -> starts 0, 2 per scene = 4 clips
+    assert len(ds) == 4
+    clip = ds[0]
+    assert clip["pixel_values"].shape == (3, 6, 3, 24, 40)
+    # 8 static map + 10 object classes + 8 aux (1 vis + 2 offset + 4 ohw + 1 height)
+    assert clip["bev_map_with_aux"].shape == (3, 8 + 10 + 8, 100, 100)
+    assert clip["camera_param"].shape == (3, 6, 3, 7)
+    assert clip["frame_emb"].shape == (3, 4, 4)
+    assert np.allclose(clip["frame_emb"][0], np.eye(4), atol=1e-6)
+    assert not np.allclose(clip["frame_emb"][2], np.eye(4), atol=1e-3)  # ego moved
+    bbox = clip["bboxes_3d_data"]
+    assert bbox is not None
+    assert bbox["bboxes"].shape[0] == 3 and bbox["bboxes"].shape[1] == 1
+    assert bbox["masks"].shape[1] == 6
+    assert (bbox["masks"] == 1).sum() > 0
+    assert "sunny day" in clip["captions"][0]
+    assert clip["num_frames"] == 3 and clip["fps"] == 12
+
+    # full batch path
+    from magicdrive_v2_tpu.datasets import clip_to_model_batch, collate_clips
+    batch = collate_clips([ds[0], ds[1]])
+    mb = clip_to_model_batch(batch, box_latent_dim=8)
+    assert mb["x"].shape == (12, 3, 3, 24, 40)
+    assert mb["maps"].shape == (2, 3, 26, 100, 100)
+    assert mb["bbox"]["box_latent"].shape[-1] == 8
