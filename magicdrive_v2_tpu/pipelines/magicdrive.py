@@ -121,7 +121,7 @@ class MagicDrivePipeline:
             n_tok = int(np.asarray(ret["mask"]).sum())
             return np.asarray(y)[0, :n_tok]
 
-        params = jax.tree_util.tree_map(np.asarray, self.params)
+        params = jax.tree_util.tree_map(lambda a: np.array(a), self.params)
         tokens = params["params"]["bbox_embedder"]["class_tokens"]
         for i, name in enumerate(classes):
             tokens[i] = embed(name).mean(axis=0)

@@ -152,3 +152,42 @@ def sample_condition_dropout(rng: pyrandom.Random, b: int, t: int,
                 if rng.random() < drop_cond_ratio_t:
                     drop_frame[i, j] = 0.0
     return drop_cond, drop_frame
+
+
+# ---------------------------------------------------------------------------
+# in-training validation (reference run_validation, train_utils.py:26-468)
+# ---------------------------------------------------------------------------
+
+
+def run_validation(pipe, val_batches, *, num_frames: int, height: int, width: int,
+                   out_dir: str, step: int, guidance_scale: float = 2.0,
+                   fps: int = 12, params=None):
+    """Render fixed validation samples with fixed seeds and save 2x3-grid videos
+    (reference train_utils.py:268-468: fixed `validation_index`, fixed generators,
+    gathered across DP and saved with GT). `pipe` is a MagicDrivePipeline; pass
+    `params` (e.g. EMA) to sample from the training state instead of init weights.
+    """
+    import os
+
+    import jax
+
+    from .inference_utils import concat_6_views, save_sample
+
+    old_params = pipe.params
+    if params is not None:
+        pipe.params = params
+    paths = []
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        for vi, batch in enumerate(val_batches):
+            rng = jax.random.PRNGKey(1024 + vi)  # reference's fixed seed contract
+            vids = pipe.sample(dict(batch), num_frames=num_frames, height=height,
+                               width=width, guidance_scale=guidance_scale, rng=rng)
+            for bi in range(vids.shape[0]):
+                grid = concat_6_views(vids[bi])
+                paths.append(save_sample(
+                    grid, os.path.join(out_dir, f"step{step}_val{vi}_{bi}"),
+                    fps=fps))
+    finally:
+        pipe.params = old_params
+    return paths
