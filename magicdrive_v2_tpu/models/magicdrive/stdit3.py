@@ -34,6 +34,7 @@ from ...registry import MODELS
 from ..layers.blocks import (
     CaptionEmbedder,
     CrossAttention,
+    CrossViewAttention,
     Mlp,
     PatchEmbed3D,
     SelfAttention,
@@ -240,16 +241,9 @@ class MVSTDiTBlock(nn.Module):
             # (b*NC, T, S, C) -> (b*T, NC, S, C)
             x_mv = x_v.reshape(b, NC, T, S, C).transpose(0, 2, 1, 3, 4).reshape(
                 b * T, NC, S, C)
-            nbr = np.asarray(self.neighbors)  # (NC, n_nbr) static
-            n_nbr = nbr.shape[1]
-            kv = x_mv[:, nbr.reshape(-1)].reshape(b * T, NC, n_nbr, S, C)
-            q = jnp.broadcast_to(x_mv[:, :, None], (b * T, NC, n_nbr, S, C))
-            out = SharedKVAttention(self.hidden_size, self.num_heads, qkv_bias=True,
-                                    qk_norm=True, dtype=self.dtype,
-                                    name="cross_view_attn")(
-                q.reshape(b * T * NC * n_nbr, S, C),
-                kv.reshape(b * T * NC * n_nbr, S, C))
-            out = out.reshape(b * T, NC, n_nbr, S, C).sum(axis=2)
+            out = CrossViewAttention(self.hidden_size, self.num_heads, qkv_bias=True,
+                                     qk_norm=True, dtype=self.dtype,
+                                     name="cross_view_attn")(x_mv, self.neighbors)
             out = out.reshape(b, T, NC, S, C).transpose(0, 2, 1, 3, 4).reshape(
                 B, T, S, C)
 

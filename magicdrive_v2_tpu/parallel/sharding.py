@@ -82,3 +82,25 @@ def dp_size() -> int:
     if mesh is None or DP_AXIS not in mesh.axis_names:
         return 1
     return int(mesh.shape[DP_AXIS])
+
+
+def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
+    """Batch-scatter a VAE encode/decode over ALL mesh devices and gather the result
+    (reference sp_vae, magicdrivedit/utils/train_utils.py:640-683: splits the (B*NC)
+    batch across the SP group and all_gathers latents). Under GSPMD this is an
+    in-sharding on the batch dim over the flattened (dp, sp) axes + replicated out.
+    """
+    mesh = mesh or get_current_mesh()
+    if mesh is None or mesh.size == 1:
+        return vae_fn(x)
+    n = mesh.size
+    b = x.shape[0]
+    pad = (-b) % n
+    if pad:
+        x = jax.numpy.concatenate([x, x[:pad]], axis=0)
+    spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
+    fn = jax.jit(vae_fn, in_shardings=NamedSharding(mesh, spec),
+                 out_shardings=NamedSharding(mesh, P()))
+    with use_mesh(mesh):
+        out = fn(x)
+    return out[:b] if pad else out

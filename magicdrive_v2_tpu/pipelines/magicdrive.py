@@ -198,7 +198,9 @@ class MagicDrivePipeline:
             z = jax.random.normal(
                 zk, (b, model_cfg.in_channels * nc, lat_t, lat_h, lat_w), jnp.float32)
 
-        model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos", "fps")
+        model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
+                                            "fps", "x_inpaint", "mask_inpaint",
+                                            "t_inpaint", "rngs_key", "num_timesteps")
                       if k in batch}
         predict = self._build_predict_fn(
             {**model_args, "height": float(height), "width": float(width)},

@@ -102,3 +102,55 @@ def build_training(model, scheduler, params, cfg, *, height, width, num_frames,
                            num_frames=num_frames, ema_decay=cfg.get("ema_decay", 0.99),
                            ema_mask=mask)
     return state, jax.jit(step, donate_argnums=0)
+
+
+def make_brushnet_train_step(model, scheduler, tx, *, height: float, width: float,
+                             num_frames: int, ema_decay: float = 0.99,
+                             ema_mask=None, sde: bool = False) -> Callable:
+    """Train step for the BrushNet variants (reference scripts/train_brushnet.py /
+    train_sde_brushnet.py loss paths; scheduler rectified_flow.py:177-332).
+
+    batch additionally carries x_inpaint (b, 3*NC, T_img, H, W) and mask_inpaint
+    (b, NC, T_img, H, W). For SDE, the scheduler samples an independent t_inpaint
+    and the model adds structured noise internally (rng threaded via batch["rngs"]).
+    """
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        cond_keys = ("y", "maps", "bbox", "cams", "rel_pos", "fps",
+                     "drop_cond_mask", "drop_frame_mask", "x_inpaint",
+                     "mask_inpaint")
+        cond = {k: batch[k] for k in cond_keys if k in batch}
+        x = batch["x"]
+        mask = batch.get("mask")
+        b = x.shape[0]
+        hw = dict(height=jnp.full((b,), float(height)),
+                  width=jnp.full((b,), float(width)),
+                  num_frames=jnp.full((b,), float(num_frames)))
+        loss_rng, noise_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            if sde:
+                def model_fn(x_t, t, x_mask, t_inpaint):
+                    return model.apply(params, x_t, t, **cond, height=float(height),
+                                       width=float(width), x_mask=x_mask,
+                                       t_inpaint=t_inpaint,
+                                       num_timesteps=float(scheduler.num_timesteps),
+                                       rngs_key=noise_rng)
+            else:
+                def model_fn(x_t, t, x_mask):
+                    return model.apply(params, x_t, t, **cond, height=float(height),
+                                       width=float(width), x_mask=x_mask)
+            out = scheduler.training_losses(model_fn, loss_rng, x, mask=mask, **hw)
+            return out["loss"].mean(), out["t"]
+
+        (loss, t_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            new_ema = update_ema(new_ema, new_params, ema_decay, ema_mask)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "t_mean": t_used.mean()}
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt, ema_params=new_ema), metrics
+
+    return train_step

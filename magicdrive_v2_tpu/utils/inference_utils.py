@@ -23,7 +23,8 @@ def add_null_condition(model_args: Dict, uncond_cam, uncond_rel_pos,
     """Batched-CFG condition doubling (reference inference_utils.py:229-289): appends
     (or prepends) the null half — zeroed bbox (masks=0 -> null features), uncond cam /
     rel_pos parameters, and the *same* maps unless use_map0."""
-    unchanged = {"mv_order_map", "t_order_map", "height", "width", "num_frames", "fps"}
+    unchanged = {"mv_order_map", "t_order_map", "height", "width", "num_frames", "fps",
+                 "rngs_key", "num_timesteps"}
     out = {}
 
     def cat(a, b):

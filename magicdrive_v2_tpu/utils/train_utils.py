@@ -36,13 +36,33 @@ def trainable_mask(params, freeze_patterns: Sequence[str] = ()) -> Any:
         {tuple(k.split("/")): v for k, v in mask.items()})
 
 
+def multistep_warmup_schedule(lr: float, warmup_steps: int = 0,
+                              milestones: Sequence[int] = (),
+                              gamma: float = 0.1):
+    """MultiStepWithLinearWarmupLR (reference utils/lr_scheduler.py:4-55):
+    linear warmup to `lr`, then multiply by `gamma` at each milestone step."""
+    milestones = sorted(milestones)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(1.0, (step + 1) / max(warmup_steps, 1)) if warmup_steps \
+            else jnp.asarray(1.0)
+        decay = 1.0
+        for m in milestones:
+            decay = decay * jnp.where(step >= m, gamma, 1.0)
+        return lr * warm * decay
+
+    return schedule
+
+
 def make_optimizer(lr, weight_decay: float = 1e-2, adam_eps: float = 1e-15,
                    grad_clip: float = 1.0, warmup_steps: int = 0,
+                   milestones: Sequence[int] = (), gamma: float = 0.1,
                    trainable: Optional[Any] = None) -> optax.GradientTransformation:
-    """AdamW + warmup + clip (reference HybridAdam + LinearWarmupLR,
-    train_magicdrive.py:331-349; eps=1e-15, wd=1e-2, clip=1.0)."""
-    if warmup_steps and not callable(lr):
-        lr = optax.linear_schedule(0.0, lr, warmup_steps)
+    """AdamW + warmup(+multistep) + clip (reference HybridAdam + LinearWarmupLR /
+    MultiStepWithLinearWarmupLR, train_magicdrive.py:331-349, lr_scheduler.py)."""
+    if not callable(lr) and (warmup_steps or milestones):
+        lr = multistep_warmup_schedule(lr, warmup_steps, milestones, gamma)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr, b1=0.9, b2=0.999, eps=adam_eps, weight_decay=weight_decay),

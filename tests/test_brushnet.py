@@ -187,3 +187,43 @@ def test_repaint_sampler_pins_known_region():
     # next_t=0 noise level == exactly the reference; unknown region stays noise
     assert np.allclose(out[:, :, :, :4], 1.0, atol=1e-5)
     assert out[:, :, :, 4:].std() > 0.5
+
+
+@pytest.mark.parametrize("sde", [False, True])
+def test_brushnet_train_step(sde, rng):
+    import optax
+    from magicdrive_v2_tpu.models.magicdrive.brushnet import MagicDriveSTDiT3BrushNet
+    from magicdrive_v2_tpu.schedulers.rf import RFLOW_BRUSHNET, RFLOW_SDEBRUSHNET
+    from magicdrive_v2_tpu.training.trainer import (create_train_state,
+                                                    make_brushnet_train_step)
+    from magicdrive_v2_tpu.utils.train_utils import make_optimizer, trainable_mask
+    from magicdrive_v2_tpu.training.lora import (BRUSHNET_EXTRA_TRAINABLE,
+                                                 lora_trainable_mask)
+
+    cfg = _brush_cfg(sde=sde)
+    model = MagicDriveSTDiT3BrushNet(cfg)
+    batch = _brush_batch(cfg)
+    extra = {}
+    if sde:
+        extra = dict(t_inpaint=jnp.full((1,), 300.0), rngs_key=jax.random.PRNGKey(7))
+    params = model.init(rng, **batch, height=32.0, width=40.0, **extra)
+    batch.pop("timestep")
+
+    # only_train_extra_blocks: brushnet blocks + shallow encoder trainable
+    mask = lora_trainable_mask(params, BRUSHNET_EXTRA_TRAINABLE)
+    tx = make_optimizer(lr=1e-4, trainable=mask)
+    state = create_train_state(params, tx)
+    sched = (RFLOW_SDEBRUSHNET if sde else RFLOW_BRUSHNET)(num_timesteps=1000)
+    step = make_brushnet_train_step(model, sched, tx, height=32.0, width=40.0,
+                                    num_frames=9, ema_mask=mask, sde=sde)
+    state2, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen base params unchanged; brushnet params updated
+    base_before = params["params"]["x_embedder"]["proj"]["kernel"]
+    base_after = state2.params["params"]["x_embedder"]["proj"]["kernel"]
+    assert np.allclose(np.asarray(base_before), np.asarray(base_after))
+    # at init the zero after_proj blocks gradients upstream inside the brushnet
+    # blocks; the after_proj itself gets nonzero grads and must move
+    bn_before = params["params"]["brush_ctrl_layers"]["brushnet_s"]["after_proj"]["kernel"]
+    bn_after = state2.params["params"]["brush_ctrl_layers"]["brushnet_s"]["after_proj"]["kernel"]
+    assert not np.allclose(np.asarray(bn_before), np.asarray(bn_after))
