@@ -64,7 +64,8 @@ def t5_xxl(from_pretrained="./pretrained/t5-v1_1-xxl", model_max_length=300) -> 
 
 
 def rflow(num_sampling_steps=30, cfg_scale=2.0, **kw) -> dict:
-    return dict(type="rflow", use_timestep_transform=True, cog_style_trans=True,
+    kind = kw.pop("type", "rflow")
+    return dict(type=kind, use_timestep_transform=True, cog_style_trans=True,
                 num_sampling_steps=num_sampling_steps, cfg_scale=cfg_scale, **kw)
 
 

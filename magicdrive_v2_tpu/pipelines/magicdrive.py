@@ -62,7 +62,17 @@ class MagicDrivePipeline:
             cfg.model, vae_out_channels=cfg.get("vae_out_channels", 16),
             mv_order_map=cfg.get("mv_order_map"), dtype=dtype,
             grad_checkpoint=cfg.get("grad_checkpoint", False))
-        model = MagicDriveSTDiT3(model_cfg)
+        model_type = str(cfg.get("model", {}).get("type", ""))
+        if "BrushNet" in model_type:
+            import dataclasses as _dc
+
+            from ..models.magicdrive.brushnet import (BrushNetConfig,
+                                                      MagicDriveSTDiT3BrushNet)
+            model_cfg = BrushNetConfig(
+                **{**_dc.asdict(model_cfg), "sde_inpaint": "SDE" in model_type})
+            model = MagicDriveSTDiT3BrushNet(model_cfg)
+        else:
+            model = MagicDriveSTDiT3(model_cfg)
 
         te_cfg = dict(cfg.get("text_encoder", {"type": "t5-dummy"}))
         te_kind = te_cfg.pop("type", "t5-dummy")
@@ -82,6 +92,18 @@ class MagicDrivePipeline:
                                                 width=400,
                                                 l_txt=text_encoder.model_max_length,
                                                 caption_channels=model_cfg.caption_channels)
+            if "BrushNet" in model_type and "x_inpaint" not in example_batch:
+                nc_ = model_cfg.nc
+                t_, h_, w_ = 9, int(example_batch["height"]), int(example_batch["width"])
+                rng_np = np.random.default_rng(0)
+                example_batch = dict(example_batch)
+                example_batch["x_inpaint"] = jnp.asarray(rng_np.standard_normal(
+                    (1, 3 * nc_, t_, h_, w_)).astype(np.float32))
+                example_batch["mask_inpaint"] = jnp.asarray(rng_np.integers(
+                    0, 2, (1, nc_, t_, h_, w_)).astype(np.float32))
+                if getattr(model_cfg, "sde_inpaint", False):
+                    example_batch["t_inpaint"] = jnp.full((1,), 300.0)
+                    example_batch["rngs_key"] = jax.random.PRNGKey(0)
             params = model.init(k1, **example_batch)
             vae.init(k2)
         pipe = cls(model, params, vae, text_encoder, scheduler, cfg)
