@@ -1,0 +1,154 @@
+"""RePaint-style latent inpainting generation (reference
+scripts/inference_magicdrive_repaint.py, 730 LoC; scheduler rf/__init__.py:780-888).
+
+Pixel-space pedestrian masks are compressed to the latent grid with the CogVideoX
+causal-time rule (first frame its own latent, then groups of 4 — reference
+`compress_time_for_mask`), reference frames are VAE-encoded, and the sampler
+re-injects the noised reference inside the mask after every Euler step until
+`ignore_mask_timestep`.
+
+Usage:
+  python scripts/inference_magicdrive_repaint.py CONFIG --synthetic \
+      [--ignore-mask-timestep 0.0]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger("inference_repaint")
+
+
+def compress_time_for_mask(mask: np.ndarray) -> np.ndarray:
+    """(..., T_img, H, W) pixel mask -> (..., T_lat, H, W) latent-time mask using the
+    CogVAE causal rule: frame 0 alone, then max-pool over groups of 4 (a latent frame
+    is 'masked' if any contributing pixel frame is), reference
+    inference_magicdrive_repaint.py compress_time_for_mask."""
+    t = mask.shape[-3]
+    first = mask[..., :1, :, :]
+    rest = mask[..., 1:, :, :]
+    t_rest = rest.shape[-3] // 4 * 4
+    rest = rest[..., :t_rest, :, :]
+    if t_rest:
+        shape = rest.shape[:-3] + (t_rest // 4, 4) + rest.shape[-2:]
+        rest = rest.reshape(shape).max(axis=-3)
+        return np.concatenate([first, rest], axis=-3)
+    return first
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--num-frames", type=int, default=None)
+    p.add_argument("--ignore-mask-timestep", type=float, default=None)
+    p.add_argument("--ckpt-path", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from magicdrive_v2_tpu.config import Config, merge_dot_options
+    from magicdrive_v2_tpu.pipelines.magicdrive import (MagicDrivePipeline,
+                                                        synthetic_batch)
+    from magicdrive_v2_tpu.schedulers.rf import RFLOW_SLICE_REPAINT
+    from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict, load_torch_file
+    from magicdrive_v2_tpu.utils.inference_utils import concat_6_views, save_sample
+
+    cfg = Config.fromfile(args.config)
+    merge_dot_options(cfg, args.cfg_options)
+
+    num_frames = args.num_frames or (17 if cfg.get("num_frames") == "full"
+                                     else cfg.get("num_frames", 17))
+    height, width = cfg.get("image_size", (224, 400))
+    out_dir = cfg.get("outputs", "outputs/inference_repaint")
+    os.makedirs(out_dir, exist_ok=True)
+    imt = (args.ignore_mask_timestep if args.ignore_mask_timestep is not None
+           else cfg.get("ignore_mask_timestep", 0.0))
+
+    pipe = MagicDrivePipeline.from_config(cfg)
+    ckpt = args.ckpt_path or cfg.get("ckpt_path")
+    if ckpt and os.path.exists(ckpt):
+        sd = load_torch_file(ckpt)
+        pipe.params = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_torch_state_dict(sd, pipe.params,
+                                     control_depth=pipe.model.cfg.control_depth,
+                                     strict=False))
+    pipe.prepare_text_embedding()
+
+    import dataclasses as dc
+    sched = RFLOW_SLICE_REPAINT(
+        **{f.name: getattr(pipe.scheduler, f.name)
+           for f in dc.fields(type(pipe.scheduler))
+           if f.name in {x.name for x in dc.fields(RFLOW_SLICE_REPAINT)}},
+    )
+    sched = dc.replace(sched, ignore_mask_timestep=imt)
+
+    model_cfg = pipe.model.cfg
+    nc = model_cfg.nc
+    n = args.num_samples or cfg.get("num_sample", 1)
+    for ns in range(n):
+        batch = synthetic_batch(model_cfg, num_frames=num_frames, height=height,
+                                width=width, l_txt=pipe.text_encoder.model_max_length,
+                                seed=ns)
+        batch.pop("timestep"), batch.pop("height"), batch.pop("width")
+        b = 1
+
+        # reference video to edit: synthetic -> random pixels; encode to latents
+        rng_np = np.random.default_rng(ns)
+        ref_px = rng_np.standard_normal(
+            (b * nc, 3, num_frames, height, width)).astype(np.float32) * 0.2
+        ref_lat = pipe.vae.encode(jnp.asarray(ref_px, model_cfg.dtype))
+        lat_t, lat_h, lat_w = ref_lat.shape[-3:]
+        ref_z = np.asarray(ref_lat.astype(jnp.float32)).reshape(
+            b, nc, model_cfg.in_channels, lat_t, lat_h, lat_w).transpose(
+            0, 2, 1, 3, 4, 5).reshape(b, -1, lat_t, lat_h, lat_w)
+
+        # pixel mask (1 = region to KEEP from the reference) -> latent mask
+        px_mask = np.zeros((b, nc, num_frames, height, width), np.float32)
+        px_mask[..., : height // 2, :] = 1.0  # keep top half, repaint bottom
+        lat_mask = compress_time_for_mask(px_mask)
+        lat_mask = lat_mask[..., ::8, ::8][..., :lat_h, :lat_w]
+        lat_mask = np.repeat(lat_mask[:, None], model_cfg.in_channels, axis=1
+                             ).reshape(b, -1, lat_t, lat_h, lat_w)
+
+        model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
+                                            "fps") if k in batch}
+        predict = pipe._build_predict_fn(
+            {**model_args, "height": float(height), "width": float(width)},
+            cfg.scheduler.get("cfg_scale", 2.0), slice_cfg=True)
+        z = sched.sample_repaint(
+            lambda zz, tt, xm: predict(zz, tt, xm),
+            jnp.asarray(ref_z), jnp.asarray(lat_mask),
+            height=float(height), width=float(width), num_frames=float(num_frames),
+            rng=jax.random.PRNGKey(1024 + ns))
+
+        lat = np.asarray(z).reshape(b, model_cfg.in_channels, nc, lat_t, lat_h,
+                                    lat_w).transpose(0, 2, 1, 3, 4, 5)
+        vids = pipe.vae.decode(jnp.asarray(
+            lat.reshape(b * nc, model_cfg.in_channels, lat_t, lat_h, lat_w),
+            pipe.vae.cfg.dtype))
+        vids = np.asarray(vids.astype(jnp.float32)).reshape(b, nc, *vids.shape[1:])
+        for bi in range(b):
+            path = os.path.join(out_dir, f"repaint_{ns}_{bi}")
+            save_sample(concat_6_views(vids[bi]), path, fps=cfg.get("save_fps", 12))
+            logger.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()
