@@ -1,0 +1,32 @@
+# Full-length 424x800 RePaint latent editing (reference:
+# configs/magicdrive/inference/fullx424x800_..._repaint.py)
+from magicdrive_v2_tpu.config.presets import (
+    MV_ORDER_MAP, cogvae, img_collate_param, rflow, t5_xxl, xl2_model)
+
+fps = 12
+save_fps = 12
+validation_index = list(range(150))
+num_sample = 1
+batch_size = 1
+dtype = "bf16"
+seed = 42
+outputs = "outputs/test/CogVAE-424-repaint"
+
+num_frames = "full"
+image_size = (424, 800)
+data_cfg_name = "Nuscenes_400_map_cache_box_t_with_n2t_12Hz"
+bbox_mode = "all-xyz"
+img_collate_param_train = img_collate_param(bbox_mode)
+dataset_cfg_overrides = ()
+
+sp_size = 1
+mv_order_map = MV_ORDER_MAP
+vae_out_channels = 16
+micro_frame_size = None
+ignore_mask_timestep = 0.0
+
+scheduler = rflow(num_sampling_steps=30, cfg_scale=2.0, type="rflow-slice-repaint")
+model = xl2_model(bbox_mode=bbox_mode, control_skip_temporal=False, sp_size=sp_size,
+                  from_pretrained="???")
+vae = cogvae(micro_frame_size=micro_frame_size, micro_batch_size=1)
+text_encoder = t5_xxl()

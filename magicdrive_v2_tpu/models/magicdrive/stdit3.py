@@ -490,15 +490,56 @@ class MagicDriveSTDiT3(nn.Module):
 
     # ------------------------------------------------------------------
 
+    def encode_conditions(self, x_shape, y, maps, bbox, cams, rel_pos,
+                          drop_cond_mask=None, drop_frame_mask=None):
+        """Precompute the step-independent conditioning (y_cond, c_map) for sampling:
+        the Euler loop calls the model 30x (x2 CFG) with identical conditions, and the
+        reference re-embeds them every call (magicdrive_stdit3.py:1115-1157). Cache
+        them once per sample and pass via `cond_cache`. x_shape: the (b, C*NC, T', H',
+        W') latent shape the denoiser will be called with."""
+        cfg = self.cfg
+        NC = cfg.nc
+        dt = cfg.dtype
+        b = x_shape[0]
+        B = b * NC
+        T_img = rel_pos.shape[1]
+        if drop_cond_mask is None:
+            drop_cond_mask = jnp.ones((b,), jnp.float32)
+        if drop_frame_mask is None:
+            drop_frame_mask = jnp.ones((b, T_img), jnp.float32)
+        Tx, Hx, Wx = x_shape[-3:]
+        T, H, W = self.get_dynamic_size((Tx, Hx, Wx))
+        h_pad_size = self._h_pad_size(H, W)
+        if h_pad_size:
+            H += h_pad_size
+        S = H * W
+        y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
+                                           drop_cond_mask, drop_frame_mask)
+        if y_cond.shape[1] != T and y_cond.shape[1] > 1:
+            y_cond = jax.image.resize(
+                y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
+        c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
+        return y_cond, c_map.reshape(B, T, S, -1)
+
+    def _h_pad_size(self, H: int, W: int) -> int:
+        cfg = self.cfg
+        pad_to = cfg.force_pad_h_for_sp_size
+        if pad_to is None and cfg.enable_sequence_parallelism:
+            pad_to = sp_size()
+        if pad_to and (H * W) % pad_to != 0:
+            return pad_to - H % pad_to
+        return 0
+
     def __call__(self, x, timestep, y, maps, bbox, cams, rel_pos, fps,
                  height: float, width: float, drop_cond_mask=None,
-                 drop_frame_mask=None, x_mask=None):
+                 drop_frame_mask=None, x_mask=None, cond_cache=None):
         """Forward (reference magicdrive_stdit3.py:1021-1218).
 
         x: (b, C*NC, T', H', W') latents; timestep: (b,); y: (b, 1, L, 4096);
         maps: (b, T_img, C_map, Hm, Wm); bbox: dict or None; cams: (b*NC, T_img, 1, 3, 7);
         rel_pos: (b*NC, T_img, 1, 4, 4); fps: (b,) or (1,);
-        height/width: python numbers (static). Returns fp32, same shape as x
+        height/width: python numbers (static). cond_cache: optional
+        (y_cond, c_map) from encode_conditions. Returns fp32, same shape as x
         (out_channels folded like in_channels).
         """
         cfg = self.cfg
@@ -521,12 +562,7 @@ class MagicDriveSTDiT3(nn.Module):
         T, H, W = self.get_dynamic_size((Tx, Hx, Wx))
 
         # H padding for SP divisibility (reference magicdrive_stdit3.py:1054-1110)
-        h_pad_size = 0
-        pad_to = cfg.force_pad_h_for_sp_size
-        if pad_to is None and cfg.enable_sequence_parallelism:
-            pad_to = sp_size()
-        if pad_to and (H * W) % pad_to != 0:
-            h_pad_size = pad_to - H % pad_to
+        h_pad_size = self._h_pad_size(H, W)
         if h_pad_size > 0:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, h_pad_size * cfg.patch_size[1]),
                             (0, 0)))
@@ -548,14 +584,17 @@ class MagicDriveSTDiT3(nn.Module):
             t0_emb = self.t_embedder(jnp.zeros_like(timestep).astype(dt)) + fps_emb
             t0_mlp = self.t_block(jax.nn.silu(t0_emb))
 
-        # condition sequence + map control
-        y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
-                                           drop_cond_mask, drop_frame_mask)
-        if y_cond.shape[1] != T and y_cond.shape[1] > 1:
-            y_cond = jax.image.resize(
-                y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
-        c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
-        c_map = c_map.reshape(B, T, S, -1)
+        # condition sequence + map control (cached across sampler steps when given)
+        if cond_cache is not None:
+            y_cond, c_map = cond_cache
+        else:
+            y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
+                                               drop_cond_mask, drop_frame_mask)
+            if y_cond.shape[1] != T and y_cond.shape[1] > 1:
+                y_cond = jax.image.resize(
+                    y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
+            c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
+            c_map = c_map.reshape(B, T, S, -1)
 
         # x embedding
         x_b = self.x_embedder(x).reshape(B, T, S, -1)

@@ -152,24 +152,43 @@ class MagicDrivePipeline:
 
     # ------------------------------------------------------------------
     def _build_predict_fn(self, model_args: Dict, guidance_scale: float,
-                          slice_cfg: bool):
+                          slice_cfg: bool, z_shape=None):
         """Returns predict(z, t, x_mask) -> CFG-combined velocity; model_args hold the
-        conditioning (already doubled for batched CFG)."""
+        conditioning (already doubled for batched CFG). z_shape (the latent shape)
+        enables the per-sample condition cache."""
         scale = guidance_scale
         apply = self.model.apply
         params = self.params
+
+        def cond_cache_for(args, z_shape):
+            """Precompute step-independent conditioning once per sample (the
+            reference re-embeds every Euler step, magicdrive_stdit3.py:1115-1157)."""
+            if any(k in args for k in ("x_inpaint",)):  # brushnet variants: skip
+                return None
+            try:
+                return apply(params, tuple(z_shape), args["y"], args["maps"],
+                             args.get("bbox"), args["cams"], args["rel_pos"],
+                             method=type(self.model).encode_conditions)
+            except Exception as e:  # pragma: no cover
+                logging.warning("cond cache unavailable (%s)", e)
+                return None
 
         if not slice_cfg:
             args2 = add_null_condition(model_args, self.uncond_cam, self.uncond_rel_pos)
             y2 = jnp.concatenate([model_args["y"], self.null_y(model_args["y"].shape[0])],
                                  axis=0)
             args2["y"] = y2
+            # computed HERE (outside the sampler's lax.scan) so the 30-step loop
+            # reuses the same embedded conditions
+            cache2 = cond_cache_for(args2, (2 * z_shape[0],) + tuple(z_shape[1:])) \
+                if z_shape is not None else None
 
             def predict(z, t, x_mask):
                 z_in = jnp.concatenate([z, z], axis=0)
                 t_in = jnp.concatenate([t, t], axis=0)
                 xm = None if x_mask is None else jnp.concatenate([x_mask, x_mask], 0)
-                pred = apply(params, z_in, t_in, **args2, x_mask=xm)
+                pred = apply(params, z_in, t_in, **args2, x_mask=xm,
+                             cond_cache=cache2)
                 if pred.shape[1] == z_in.shape[1] * 2:
                     pred = jnp.split(pred, 2, axis=1)[0]
                 cond, uncond = jnp.split(pred, 2, axis=0)
@@ -181,15 +200,17 @@ class MagicDrivePipeline:
             model_args, self.uncond_cam, self.uncond_rel_pos,
             self.null_y(model_args["y"].shape[0]),
             ["y", "bbox", "cams", "rel_pos"])
+        cache_c = cond_cache_for(model_args, z_shape) if z_shape is not None else None
+        cache_n = cond_cache_for(null_args, z_shape) if z_shape is not None else None
 
         def predict(z, t, x_mask):
-            def run(args):
-                pred = apply(params, z, t, **args, x_mask=x_mask)
+            def run(args, cache):
+                pred = apply(params, z, t, **args, x_mask=x_mask, cond_cache=cache)
                 if pred.shape[1] == z.shape[1] * 2:
                     pred = jnp.split(pred, 2, axis=1)[0]
                 return pred
-            all_pred = run(model_args)
-            null_pred = run(null_args)
+            all_pred = run(model_args, cache_c)
+            null_pred = run(null_args, cache_n)
             return null_pred + scale * (all_pred - null_pred)
 
         return predict
@@ -226,7 +247,7 @@ class MagicDrivePipeline:
                       if k in batch}
         predict = self._build_predict_fn(
             {**model_args, "height": float(height), "width": float(width)},
-            guidance_scale, sched.slice_cfg)
+            guidance_scale, sched.slice_cfg, z_shape=tuple(z.shape))
 
         hw = dict(height=jnp.full((z.shape[0],), float(height)),
                   width=jnp.full((z.shape[0],), float(width)),
