@@ -97,3 +97,34 @@ def test_rope_relative_property(rng):
 
     assert abs(dot_at(2, 5, 8) - dot_at(0, 3, 8)) < 1e-4
     assert abs(dot_at(7, 1, 8) - dot_at(6, 0, 8)) < 1e-4
+
+
+def test_chunked_xla_attention_matches_full():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from magicdrive_v2_tpu.ops.attention import chunked_xla_attention, xla_attention
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 300, 4, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 300, 4, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 300, 4, 16))
+    ref = xla_attention(q, k, v)
+    # chunk size not dividing the sequence exercises the pad/slice path
+    out = chunked_xla_attention(q, k, v, q_chunk=128)
+    assert out.shape == ref.shape
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dot_product_attention_auto_dispatch():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from magicdrive_v2_tpu.ops.attention import dot_product_attention, xla_attention
+
+    key = jax.random.PRNGKey(0)
+    # large logits (B*H*N*M > 2.7e8) -> chunked path
+    q = jax.random.normal(key, (8, 2048, 8, 8))
+    out = dot_product_attention(q, q, q)
+    ref = xla_attention(q[:1], q[:1], q[:1])
+    assert np.allclose(np.asarray(out[:1]), np.asarray(ref), atol=1e-5)
