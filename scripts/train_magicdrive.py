@@ -166,9 +166,16 @@ def main():
         drop_cond_ratio_t = cfg.get("drop_cond_ratio_t", 0.0)
         ckpt_every = cfg.get("ckpt_every", 1000)
         log_every = cfg.get("log_every", 10)
+        record_time = cfg.get("record_time", False)
         rng = jax.random.PRNGKey(cfg.get("seed", 42) + 1)
         host_rng = pyrandom.Random(cfg.get("seed", 42) + 2)
         metrics_path = os.path.join(exp_dir, "metrics.jsonl")
+        tb = None
+        try:  # TensorBoard scalars (reference train_magicdrive.py:653-661)
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+        except Exception:
+            pass
         t_start = time.time()
 
         step = start_step
@@ -190,16 +197,22 @@ def main():
                     batch["drop_cond_mask"] = jnp.asarray(dc)
                     batch["drop_frame_mask"] = jnp.asarray(df)
                 rng, step_key = jax.random.split(rng)
+                t_step = time.time()
                 state, metrics = step_fn(state, batch, step_key)
                 step += 1
                 if step % log_every == 0:
-                    loss = float(metrics["loss"])
+                    loss = float(metrics["loss"])  # device sync point
                     line = {"step": step, "loss": loss,
                             "grad_norm": float(metrics["grad_norm"]),
                             "elapsed_s": round(time.time() - t_start, 1)}
+                    if record_time:
+                        line["step_s"] = round(time.time() - t_step, 3)
                     logger.info("%s", line)
                     with open(metrics_path, "a") as f:
                         f.write(json.dumps(line) + "\n")
+                    if tb is not None:
+                        tb.add_scalar("loss", loss, step)
+                        tb.add_scalar("grad_norm", line["grad_norm"], step)
                     if not np.isfinite(loss):
                         raise FloatingPointError(f"NaN loss at step {step}")
                 if step % ckpt_every == 0:
