@@ -418,3 +418,36 @@ def t_mask_select(x_mask: jnp.ndarray, x: jnp.ndarray, masked_x: jnp.ndarray,
     m4 = masked_x.reshape(B, T, S, C)
     out = jnp.where(x_mask[:, :, None, None], x4, m4)
     return out.reshape(B, N, C)
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG dropout (reference blocks.py:955-982).
+    Unused by the MagicDrive configs; kept for layer-library parity."""
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, labels: jnp.ndarray,
+                 force_drop_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        use_cfg = self.dropout_prob > 0
+        table = self.param("embedding_table", normal_02,
+                           (self.num_classes + int(use_cfg), self.hidden_size))
+        if force_drop_ids is not None:
+            labels = jnp.where(force_drop_ids.astype(bool), self.num_classes, labels)
+        return table[labels]
+
+
+class FinalLayer(nn.Module):
+    """Plain (non-adaLN) final projection (reference FinalLayer, blocks.py:851-866)."""
+    hidden_size: int
+    num_patch: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = layer_norm_fp32(x)
+        return nn.Dense(self.num_patch * self.out_channels, dtype=self.dtype,
+                        kernel_init=zeros_init, bias_init=zeros_init,
+                        name="linear")(x)
