@@ -144,3 +144,39 @@ def test_drop_cond_mask_nulls_conditions(model_and_params):
     # with captions dropped, y must not influence the output
     np.testing.assert_allclose(np.asarray(out_dropped), np.asarray(out_dropped2),
                                atol=1e-5)
+
+
+def test_sequence_parallel_matches_single_device():
+    """SURVEY.md §4(b): the Ulysses-equivalence contract — the model under a
+    (dp=1, sp=4) mesh with GSPMD sequence sharding must reproduce the unsharded
+    forward bit-for-bit up to reduction order."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.parallel.sharding import make_mesh, use_mesh
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+
+    cfg = _flagship_config(tiny=True, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, grad_checkpoint=False)
+    # latent 8x10 -> S=20 tokens, divisible by sp=4: no padding difference
+    batch = synthetic_batch(cfg, num_frames=9, height=64, width=80, l_txt=8, b=1,
+                            map_size=(8, 80, 80))
+    h, w = batch.pop("height"), batch.pop("width")
+
+    model_ref = MagicDriveSTDiT3(cfg)
+    params = _fast_init(model_ref, {**batch, "height": h, "width": w})
+    ref = model_ref.apply(params, **batch, height=h, width=w)
+
+    cfg_sp = dataclasses.replace(cfg, enable_sequence_parallelism=True)
+    model_sp = MagicDriveSTDiT3(cfg_sp)
+    mesh = make_mesh(dp=1, sp=4)
+    with use_mesh(mesh):
+        out = jax.jit(lambda p, b: model_sp.apply(p, **b, height=h, width=w))(
+            params, batch)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-4), \
+        float(np.abs(np.asarray(out) - np.asarray(ref)).max())
