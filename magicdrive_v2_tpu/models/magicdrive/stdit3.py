@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ...ops.fused_adaln import adaln_modulate
 from ...parallel.sharding import DP_AXIS, SP_AXIS, shard_hint, sp_size
 from ...registry import MODELS
 from ..layers.blocks import (
@@ -190,11 +191,21 @@ class MVSTDiTBlock(nn.Module):
                 return a
             return jnp.where(x_mask[:, :, None, None], a, a0)
 
+        def norm_mod(inp, idx_shift, idx_scale, mods_, mods0_):
+            """Fused adaLN (ops/fused_adaln.py) on the no-mask path; the x_mask path
+            needs both t and t0 modulations of the same norm, so it composes."""
+            if x_mask is None:
+                flat = adaln_modulate(inp.reshape(B, T * S, C),
+                                      mods_[:, idx_shift, 0, 0],
+                                      mods_[:, idx_scale, 0, 0])
+                return flat.reshape(B, T, S, C)
+            normed = layer_norm_fp32(inp)
+            out = t2i_modulate(normed, mods_[:, idx_shift], mods_[:, idx_scale])
+            return sel(out, t2i_modulate(normed, mods0_[:, idx_shift],
+                                         mods0_[:, idx_scale]))
+
         # ---- self attention (spatial or temporal view) ----
-        normed1 = layer_norm_fp32(x)
-        x_m = t2i_modulate(normed1, m[:, 0], m[:, 1])
-        if x_mask is not None:
-            x_m = sel(x_m, t2i_modulate(normed1, m0[:, 0], m0[:, 1]))
+        x_m = norm_mod(x, 0, 1, m, m0 if x_mask is not None else None)
 
         attn = SelfAttention(self.hidden_size, self.num_heads, qkv_bias=True,
                              qk_norm=self.qk_norm, use_rope=self.temporal,
@@ -232,11 +243,11 @@ class MVSTDiTBlock(nn.Module):
                                    (3, self.hidden_size)).astype(x.dtype)
             t3 = t.reshape(b, 6, C)[:, :3]
             mv = jnp.repeat(table_mva[None] + t3, NC, axis=0)[:, :, None, None, :]
-            x_v = t2i_modulate(layer_norm_fp32(x), mv[:, 0], mv[:, 1])
+            mv0 = None
             if x_mask is not None:
                 t30 = t0.reshape(b, 6, C)[:, :3]
                 mv0 = jnp.repeat(table_mva[None] + t30, NC, axis=0)[:, :, None, None, :]
-                x_v = sel(x_v, t2i_modulate(layer_norm_fp32(x), mv0[:, 0], mv0[:, 1]))
+            x_v = norm_mod(x, 0, 1, mv, mv0)
 
             # (b*NC, T, S, C) -> (b*T, NC, S, C)
             x_mv = x_v.reshape(b, NC, T, S, C).transpose(0, 2, 1, 3, 4).reshape(
@@ -256,10 +267,7 @@ class MVSTDiTBlock(nn.Module):
             x = shard_hint(x, {0: DP_AXIS, 2: SP_AXIS})
 
         # ---- MLP ----
-        normed2 = layer_norm_fp32(x)
-        x_m = t2i_modulate(normed2, m[:, 3], m[:, 4])
-        if x_mask is not None:
-            x_m = sel(x_m, t2i_modulate(normed2, m0[:, 3], m0[:, 4]))
+        x_m = norm_mod(x, 3, 4, m, m0 if x_mask is not None else None)
         x_m = Mlp(int(self.hidden_size * self.mlp_ratio), dtype=self.dtype,
                   name="mlp")(x_m)
         x_m_s = m[:, 5] * x_m

@@ -128,3 +128,26 @@ def test_dot_product_attention_auto_dispatch():
     out = dot_product_attention(q, q, q)
     ref = xla_attention(q[:1], q[:1], q[:1])
     assert np.allclose(np.asarray(out[:1]), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_adaln_matches_composition():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from magicdrive_v2_tpu.models.layers.blocks import layer_norm_fp32, t2i_modulate
+    from magicdrive_v2_tpu.ops.fused_adaln import adaln_modulate
+
+    key = jax.random.PRNGKey(0)
+    # C=128 exercises the pallas kernel (interpret mode on CPU via conftest)
+    x = jax.random.normal(key, (2, 300, 128), jnp.float32)
+    shift = jax.random.normal(jax.random.PRNGKey(1), (2, 128))
+    scale = jax.random.normal(jax.random.PRNGKey(2), (2, 128))
+    out = adaln_modulate(x, shift, scale)
+    ref = t2i_modulate(layer_norm_fp32(x), shift[:, None], scale[:, None])
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # fallback path (C not multiple of 128) agrees too
+    x2 = jax.random.normal(key, (2, 17, 72), jnp.float32)
+    s2 = jax.random.normal(key, (2, 72))
+    out2 = adaln_modulate(x2, s2, s2)
+    ref2 = t2i_modulate(layer_norm_fp32(x2), s2[:, None], s2[:, None])
+    assert np.allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)
