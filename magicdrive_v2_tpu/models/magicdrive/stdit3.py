@@ -192,15 +192,20 @@ class MVSTDiTBlock(nn.Module):
             return jnp.where(x_mask[:, :, None, None], a, a0)
 
         def norm_mod(inp, idx_shift, idx_scale, mods_, mods0_):
-            """Fused adaLN (ops/fused_adaln.py) on the no-mask path; the x_mask path
-            needs both t and t0 modulations of the same norm, so it composes."""
-            if x_mask is None:
+            """adaLN: norm + modulate. The Pallas fused kernel (ops/fused_adaln.py) is
+            opt-in via MDV2_FUSED_ADALN=1 — measured on v5e it LOSES to the XLA
+            composition in-graph (6.37 vs 5.92 s/step at 424p) because the custom
+            call breaks XLA's fusion with neighboring ops; kept for future tuning."""
+            import os as _os
+            if x_mask is None and _os.environ.get("MDV2_FUSED_ADALN") == "1":
                 flat = adaln_modulate(inp.reshape(B, T * S, C),
                                       mods_[:, idx_shift, 0, 0],
                                       mods_[:, idx_scale, 0, 0])
                 return flat.reshape(B, T, S, C)
             normed = layer_norm_fp32(inp)
             out = t2i_modulate(normed, mods_[:, idx_shift], mods_[:, idx_scale])
+            if x_mask is None:
+                return out
             return sel(out, t2i_modulate(normed, mods0_[:, idx_shift],
                                          mods0_[:, idx_scale]))
 

@@ -218,7 +218,7 @@ class MagicDrivePipeline:
     def sample(self, batch: Dict, *, num_frames: int, height: int, width: int,
                rng: Optional[jax.Array] = None, z: Optional[jnp.ndarray] = None,
                mask: Optional[jnp.ndarray] = None, guidance_scale: Optional[float] = None,
-               decode: bool = True):
+               decode: bool = True, torch_seed: Optional[int] = None):
         """Generate a sample.
 
         batch: dict with y (B,1,L,4096) [or 'captions' strings], maps, bbox, cams,
@@ -237,9 +237,14 @@ class MagicDrivePipeline:
         b = batch["y"].shape[0]
         lat_t, lat_h, lat_w = self.vae.get_latent_size([num_frames, height, width])
         if z is None:
-            zk, rng = jax.random.split(rng)
-            z = jax.random.normal(
-                zk, (b, model_cfg.in_channels * nc, lat_t, lat_h, lat_w), jnp.float32)
+            z_shape = (b, model_cfg.in_channels * nc, lat_t, lat_h, lat_w)
+            if torch_seed is not None:
+                # reference seed contract: torch.manual_seed(1024+ns); torch.randn
+                from ..utils.misc import torch_randn
+                z = jnp.asarray(torch_randn(z_shape, seed=torch_seed))
+            else:
+                zk, rng = jax.random.split(rng)
+                z = jax.random.normal(zk, z_shape, jnp.float32)
 
         model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
                                             "fps", "x_inpaint", "mask_inpaint",

@@ -112,3 +112,21 @@ def add_box_latent(bboxes: Dict, b: int, nc: int, t: int, sample_fn) -> Dict:
     bboxes = dict(bboxes)
     bboxes["box_latent"] = latent.reshape(b * nc, t, n_boxes, -1)
     return bboxes
+
+
+def torch_randn(shape, seed: Optional[int] = None, generator=None) -> np.ndarray:
+    """Bit-compatible replacement for the reference's `torch.manual_seed(s);
+    torch.randn(shape)` latent sampling (reference inference_magicdrive.py:434:
+    seed 1024+ns per sample). Uses the real torch CPU generator when available so
+    frames are bit-comparable at matched seeds (BASELINE.json north star); falls
+    back to numpy (same distribution, different bits) without torch."""
+    try:
+        import torch
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(shape, np.float32)
+    if generator is None:
+        generator = torch.Generator()
+        if seed is not None:
+            generator.manual_seed(int(seed))
+    return torch.randn(*shape, generator=generator).numpy()

@@ -97,9 +97,10 @@ def main():
     for ns, _idx in enumerate(indices):
         batch = get_batch(ns)
         batch.pop("height", None), batch.pop("width", None)
-        rng = jax.random.PRNGKey(1024 + ns)  # reference seed contract
+        rng = jax.random.PRNGKey(1024 + ns)
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
-                           guidance_scale=guidance, rng=rng)
+                           guidance_scale=guidance, rng=rng,
+                           torch_seed=1024 + ns)  # reference seed contract
         # vids: (b, NC, 3, T, H, W) float in [-1, 1]
         for bi in range(vids.shape[0]):
             grid = concat_6_views(vids[bi])  # (3, T, 2H, 3W)

@@ -127,7 +127,8 @@ def main():
         batch.pop("height", None), batch.pop("width", None)
         rng = jax.random.PRNGKey(1024 + ns)
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
-                           guidance_scale=guidance, rng=rng)
+                           guidance_scale=guidance, rng=rng,
+                           torch_seed=1024 + ns)  # reference seed contract
         for bi in range(vids.shape[0]):
             sample = vids[bi]  # (NC, 3, T, H, W)
             if use_back_trans:

@@ -126,3 +126,17 @@ def test_frame_mask_pins_reference_frames(pipe):
     np.testing.assert_allclose(np.asarray(out[:, :, 0]), np.asarray(z[:, :, 0]),
                                atol=1e-6)
     assert not np.allclose(np.asarray(out[:, :, 1]), np.asarray(z[:, :, 1]))
+
+
+def test_torch_randn_matches_reference_contract():
+    """z must be bit-identical to torch.manual_seed(1024+ns); torch.randn(...)
+    (reference inference_magicdrive.py:434)."""
+    import numpy as np
+    import torch
+
+    from magicdrive_v2_tpu.utils.misc import torch_randn
+
+    torch.manual_seed(1024)
+    want = torch.randn(2, 3, 4).numpy()
+    got = torch_randn((2, 3, 4), seed=1024)
+    assert np.array_equal(got, want)
