@@ -56,6 +56,11 @@ class MagicDrivePipeline:
         vae_dict.pop("type", None)
         for k in ("from_pretrained", "subfolder", "cache_dir", "local_files_only"):
             vae_dict.pop(k, None)
+        # vae_tiling=N (reference --vae_tiling 384): tiled decode with N-pixel tiles
+        tiling_px = cfg.get("vae_tiling")
+        if tiling_px and "tiling" not in vae_dict:
+            vae_dict["tiling"] = dict(tile_sample_min_height=int(tiling_px),
+                                      tile_sample_min_width=int(tiling_px))
         vae = VideoAutoencoderKLCogVideoX(vae_cfg, **vae_dict)
 
         model_cfg = build_model_config(
