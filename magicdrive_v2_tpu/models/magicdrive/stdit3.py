@@ -257,7 +257,9 @@ class MVSTDiTBlock(nn.Module):
             # (b*NC, T, S, C) -> (b*T, NC, S, C)
             x_mv = x_v.reshape(b, NC, T, S, C).transpose(0, 2, 1, 3, 4).reshape(
                 b * T, NC, S, C)
-            out = CrossViewAttention(self.hidden_size, self.num_heads, qkv_bias=True,
+            # reference constructs cross_view_attn without qkv bias
+            # (magicdrive_stdit3.py:126-133: qkv_bias not passed, default False)
+            out = CrossViewAttention(self.hidden_size, self.num_heads, qkv_bias=False,
                                      qk_norm=True, dtype=self.dtype,
                                      name="cross_view_attn")(x_mv, self.neighbors)
             out = out.reshape(b, T, NC, S, C).transpose(0, 2, 1, 3, 4).reshape(

@@ -47,34 +47,53 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def chunked_xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           scale: Optional[float] = None,
-                          q_chunk: int = 1024,
-                          max_logit_elems: float = 2**28) -> jnp.ndarray:
-    """Exact attention with O(N/chunks) logit memory: scan over query chunks, each
-    chunk sees the FULL key row so softmax needs no online accumulation
+                          max_logit_elems: int = 2**28) -> jnp.ndarray:
+    """Exact attention with bounded logit memory: sequential map over (batch, query)
+    chunks; every chunk sees the FULL key row so softmax needs no online accumulation
     (Rabe & Staats memory-efficient attention, arXiv:2112.05682 — the same role the
     reference's xformers memory_efficient_attention plays, blocks.py:252).
 
     XLA's fused einsum-softmax-einsum runs at ~3x our hand-written Pallas kernel for
-    this model's head_dim=72 (measured on v5e; see bench notes), so long sequences
-    are chunked XLA rather than a flash kernel.
+    this model's head_dim=72 (measured on v5e; see docs/PERF.md), so long sequences
+    are chunked XLA rather than a flash kernel. Chunk sizes are chosen so the fp32
+    logits per step stay under max_logit_elems (default ~1 GB).
     """
     B, N, H, D = q.shape
     M = k.shape[1]
     if scale is None:
         scale = D ** -0.5
-    # also bound the per-chunk logits by splitting batch when B*H*q_chunk*M is big
-    n_chunks = max(1, -(-N // q_chunk))
-    pad = (-N) % n_chunks
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    qc = q.reshape(B, n_chunks, -1, H, D).transpose(1, 0, 2, 3, 4)
+    # batch chunk first (keeps queries whole), then query chunk inside
+    b_chunk = max(1, min(B, int(max_logit_elems // max(1, H * N * M))))
+    per_b = H * M
+    q_chunk = max(128, int(max_logit_elems // max(1, b_chunk * per_b)))
+    q_chunk = min(q_chunk, N)
+    nb = -(-B // b_chunk)
+    nq = -(-N // q_chunk)
+    pad_b = nb * b_chunk - B
+    pad_q = nq * q_chunk - N
+    if pad_b:
+        qp = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        kp = jnp.pad(k, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        vp = jnp.pad(v, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+    else:
+        qp, kp, vp = q, k, v
+    if pad_q:
+        qp = jnp.pad(qp, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
 
-    def one(q_i):
-        return xla_attention(q_i, k, v, scale=scale)
+    out0 = jnp.zeros(qp.shape, q.dtype)
 
-    out = jax.lax.map(one, qc)  # sequential over chunks
-    out = out.transpose(1, 0, 2, 3, 4).reshape(B, -1, H, D)
-    return out[:, :N]
+    def body(i, out):
+        bi, qi = i // nq, i % nq
+        q_i = jax.lax.dynamic_slice(
+            qp, (bi * b_chunk, qi * q_chunk, 0, 0), (b_chunk, q_chunk, H, D))
+        k_i = jax.lax.dynamic_slice(kp, (bi * b_chunk, 0, 0, 0), (b_chunk, M, H, D))
+        v_i = jax.lax.dynamic_slice(vp, (bi * b_chunk, 0, 0, 0), (b_chunk, M, H, D))
+        o = xla_attention(q_i, k_i, v_i, scale=scale).astype(out.dtype)
+        return jax.lax.dynamic_update_slice(
+            out, o, (bi * b_chunk, qi * q_chunk, 0, 0))
+
+    out = jax.lax.fori_loop(0, nb * nq, body, out0)
+    return out[:B, :N]
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

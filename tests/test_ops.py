@@ -110,10 +110,13 @@ def test_chunked_xla_attention_matches_full():
     k = jax.random.normal(jax.random.PRNGKey(1), (2, 300, 4, 16))
     v = jax.random.normal(jax.random.PRNGKey(2), (2, 300, 4, 16))
     ref = xla_attention(q, k, v)
-    # chunk size not dividing the sequence exercises the pad/slice path
-    out = chunked_xla_attention(q, k, v, q_chunk=128)
+    # small budget forces batch + query chunking, exercising the pad/slice paths
+    out = chunked_xla_attention(q, k, v, max_logit_elems=4 * 128 * 300)
     assert out.shape == ref.shape
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # batch-only chunking path
+    out2 = chunked_xla_attention(q, k, v, max_logit_elems=1 * 4 * 300 * 300)
+    assert np.allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
 
 
 def test_dot_product_attention_auto_dispatch():

@@ -1,0 +1,377 @@
+"""Numerical parity against the REFERENCE torch modules.
+
+Imports the reference implementation from /root/reference (read-only) with
+lightweight stubs for its heavyweight deps (mmengine/colossalai/timm/...), loads the
+SAME weights into our flax modules through utils/ckpt.convert_torch_state_dict, and
+compares outputs. This is the strongest parity evidence available without trained
+checkpoints: identical weights -> near-identical activations.
+
+Covered: timestep_transform / add_noise (pure fns), TimestepEmbedder, t2i modulation
+tables via T2IFinalLayer, Attention (qk-norm self-attn), MultiHeadCrossAttention,
+MultiHeadAttention (shared qkv, used by cross-view), PositionEmbedding2D, and a FULL
+MultiViewSTDiT3Block (spatial, skip_cross_attn) vs our MVSTDiTBlock.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="no reference mount")
+
+
+def _install_stubs():
+    import torch.nn as tnn
+
+    import importlib.machinery
+
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    # mmengine: registry + config shims
+    class _Registry:
+        def __init__(self, *a, **k):
+            pass
+
+        def register_module(self, *a, **k):
+            def deco(x):
+                return x
+            return deco if not a or not callable(a[0]) else a[0]
+
+        def build(self, *a, **k):
+            raise NotImplementedError
+
+        def get(self, *a, **k):
+            raise NotImplementedError
+
+    mm = mod("mmengine")
+    mod("mmengine.registry", Registry=_Registry)
+    mod("mmengine.config", Config=dict, ConfigDict=dict)
+    mm.registry = sys.modules["mmengine.registry"]
+    mm.config = sys.modules["mmengine.config"]
+
+    # timm pieces the reference uses
+    class _TimmMlp(tnn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=tnn.GELU, drop=0.0, **kw):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = tnn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = tnn.Linear(hidden_features, out_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class _DropPath(tnn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    mod("timm")
+    mod("timm.models")
+    mod("timm.models.vision_transformer", Mlp=_TimmMlp, DropPath=_DropPath)
+    mod("timm.models.layers", DropPath=_DropPath)
+
+    class _Rotary:
+        def __init__(self, dim):
+            self.dim = dim
+
+        def rotate_queries_or_keys(self, x):
+            return x
+
+    mod("rotary_embedding_torch", RotaryEmbedding=_Rotary)
+    mod("structured_noise",
+        generate_structured_noise_batch_vectorized=lambda *a, **k: None)
+    mod("colossalai")
+    mod("colossalai.cluster", DistCoordinator=object, ProcessGroupMesh=object)
+    mod("colossalai.cluster.dist_coordinator", DistCoordinator=object)
+    mod("colossalai.booster", Booster=object)
+    mod("colossalai.booster.plugin", LowLevelZeroPlugin=object)
+    mod("colossalai.checkpoint_io", GeneralCheckpointIO=object)
+    mod("colossalai.utils", get_current_device=lambda: "cpu")
+    mod("ftfy", fix_text=lambda s: s)
+    mod("bs4", BeautifulSoup=None)
+
+    # diffusers (the reference vendors CogVideoX VAE; we only need import to succeed)
+    class _Passthrough:
+        pass
+
+    class _ConfigMixin:
+        pass
+
+    class _FromOriginal:
+        pass
+
+    def _register_to_config(fn):
+        return fn
+
+    class _Logging:
+        @staticmethod
+        def get_logger(*a, **k):
+            import logging as _l
+            return _l.getLogger("stub")
+
+    class _CogDown(tnn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    mod("diffusers")
+    mod("diffusers.configuration_utils", ConfigMixin=_ConfigMixin,
+        register_to_config=_register_to_config)
+    mod("diffusers.loaders")
+    mod("diffusers.loaders.single_file_model", FromOriginalModelMixin=_FromOriginal)
+    mod("diffusers.models")
+    mod("diffusers.models.activations", get_activation=lambda name: tnn.SiLU())
+    mod("diffusers.models.autoencoders")
+    mod("diffusers.models.autoencoders.vae", DecoderOutput=_Passthrough,
+        DiagonalGaussianDistribution=_Passthrough)
+    mod("diffusers.models.downsampling", CogVideoXDownsample3D=_CogDown)
+    mod("diffusers.models.modeling_outputs", AutoencoderKLOutput=_Passthrough)
+    mod("diffusers.models.modeling_utils", ModelMixin=tnn.Module)
+    mod("diffusers.models.upsampling", CogVideoXUpsample3D=_CogDown)
+    mod("diffusers.utils", logging=_Logging())
+    mod("diffusers.utils.accelerate_utils", apply_forward_hook=lambda f: f)
+    # force the plain matmul-softmax attention path: pretend CUDA exists at import
+    # time so blocks.py picks the flash_attn branch (stubbed) instead of torch_npu,
+    # then run with enable_flash_attn=False everywhere.
+    os.environ["USE_XFORMERS"] = "False"
+    os.environ["DEVICE_TYPE"] = "gpu"
+    mod("flash_attn", flash_attn_func=None)
+    mod("torch_npu", npu_fusion_attention=None, npu_confusion_transpose=None)
+    import torch
+    torch.cuda.is_available = lambda: True  # import-time gate only
+    # short-circuit the data package: it pulls cv2/mmcv/mmdet which aren't needed
+    # for model parity
+    mod("magicdrivedit.datasets", IMG_FPS=120, save_sample=lambda *a, **k: None,
+        is_img=lambda p: False, is_vid=lambda p: False)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _install_stubs()
+    import importlib
+    blocks = importlib.import_module("magicdrivedit.models.layers.blocks")
+    rf = importlib.import_module("magicdrivedit.schedulers.rf.rectified_flow")
+    stdit3 = importlib.import_module(
+        "magicdrivedit.models.magicdrive.magicdrive_stdit3")
+    return types.SimpleNamespace(blocks=blocks, rf=rf, stdit3=stdit3)
+
+
+def _to_flax(module, params_like):
+    from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict
+    sd = {k: v.detach().float().numpy() for k, v in module.state_dict().items()}
+    return convert_torch_state_dict(sd, params_like, strict=True)
+
+
+def test_timestep_transform_parity(ref):
+    import torch
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.schedulers.rf import timestep_transform
+
+    t = np.linspace(1.0, 999.0, 13).astype(np.float32)
+    for cog in (False, True):
+        for frames, h, w in ((17, 224, 400), (65, 424, 800), (1, 224, 400)):
+            want = ref.rf.timestep_transform(
+                torch.tensor(t),
+                dict(height=torch.tensor([float(h)]),
+                     width=torch.tensor([float(w)]),
+                     num_frames=torch.tensor([float(frames)])),
+                num_timesteps=1000, cog_style=cog).numpy()
+            got = np.asarray(timestep_transform(
+                jnp.asarray(t), height=float(h), width=float(w),
+                num_frames=float(frames), num_timesteps=1000.0, cog_style=cog))
+            assert np.allclose(got, want, atol=1e-3), (cog, frames, h, w)
+
+
+def test_add_noise_parity(ref):
+    import torch
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.schedulers.rf import add_noise
+
+    sched = ref.rf.RFlowScheduler(num_timesteps=1000, num_sampling_steps=30)
+    x = np.random.default_rng(0).standard_normal((2, 4, 3, 8, 8)).astype(np.float32)
+    n = np.random.default_rng(1).standard_normal((2, 4, 3, 8, 8)).astype(np.float32)
+    t = np.array([250.0, 750.0], np.float32)
+    want = sched.add_noise(torch.tensor(x), torch.tensor(n), torch.tensor(t)).numpy()
+    got = np.asarray(add_noise(jnp.asarray(x), jnp.asarray(n), jnp.asarray(t), 1000.0))
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_timestep_embedder_parity(ref):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.layers.blocks import TimestepEmbedder
+
+    torch.manual_seed(0)
+    ref_mod = ref.blocks.TimestepEmbedder(64).eval()
+    ours = TimestepEmbedder(64)
+    t = np.array([0.0, 125.5, 999.0], np.float32)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(t))
+    params = _to_flax(ref_mod, params)
+    with torch.no_grad():
+        want = ref_mod(torch.tensor(t), dtype=torch.float32).numpy()
+    got = np.asarray(ours.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                                jnp.asarray(t)))
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_pos_embedding_2d_parity(ref):
+    import torch
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.layers.blocks import pos_embedding_2d
+
+    pe = ref.blocks.PositionEmbedding2D(64)
+    x = torch.zeros(1, 1, 64)
+    want = pe(x, 7, 10, scale=1.73, base_size=8).numpy()
+    got = np.asarray(pos_embedding_2d(64, 7, 10, scale=1.73, base_size=8))
+    assert want.shape == got.shape
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_self_attention_parity(ref):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.layers.blocks import SelfAttention
+
+    torch.manual_seed(1)
+    ref_attn = ref.blocks.Attention(64, num_heads=4, qkv_bias=True, qk_norm=True,
+                                    enable_flash_attn=False,
+                                    enable_xformers=False).eval()
+    x = np.random.default_rng(0).standard_normal((2, 11, 64)).astype(np.float32)
+    ours = SelfAttention(64, 4, qkv_bias=True, qk_norm=True)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = _to_flax(ref_attn, params)
+    with torch.no_grad():
+        want = ref_attn(torch.tensor(x)).numpy()
+    got = np.asarray(ours.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                                jnp.asarray(x)))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_cross_attention_parity(ref):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.layers.blocks import CrossAttention
+
+    torch.manual_seed(2)
+    ref_attn = ref.blocks.MultiHeadCrossAttention(64, 4).eval()
+    B, N, L = 2, 9, 6
+    x = np.random.default_rng(0).standard_normal((B, N, 64)).astype(np.float32)
+    cond = np.random.default_rng(1).standard_normal((B, L, 64)).astype(np.float32)
+    ours = CrossAttention(64, 4)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond))
+    params = _to_flax(ref_attn, params)
+    with torch.no_grad():
+        # non-xformers reference path takes per-sample cond (B, L, C) directly
+        want = ref_attn(torch.tensor(x), torch.tensor(cond)).numpy()
+    got = np.asarray(ours.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                                jnp.asarray(x), jnp.asarray(cond)))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_shared_kv_attention_parity(ref):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.layers.blocks import SharedKVAttention
+
+    torch.manual_seed(3)
+    ref_attn = ref.blocks.MultiHeadAttention(
+        64, num_heads=4, qkv_bias=True, qk_norm=True, enable_flash_attn=False,
+        enable_xformers=False, is_cross_attention=True).eval()
+    x = np.random.default_rng(0).standard_normal((2, 7, 64)).astype(np.float32)
+    c = np.random.default_rng(1).standard_normal((2, 5, 64)).astype(np.float32)
+    ours = SharedKVAttention(64, 4, qkv_bias=True, qk_norm=True)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(c))
+    params = _to_flax(ref_attn, params)
+    with torch.no_grad():
+        want = ref_attn(torch.tensor(x), cond=torch.tensor(c)).numpy()
+    got = np.asarray(ours.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                                jnp.asarray(x), jnp.asarray(c)))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_final_layer_parity(ref):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.layers.blocks import T2IFinalLayer
+
+    torch.manual_seed(4)
+    ref_fl = ref.blocks.T2IFinalLayer(64, num_patch=4, out_channels=16).eval()
+    B, N = 2, 12
+    x = np.random.default_rng(0).standard_normal((B, N, 64)).astype(np.float32)
+    t = np.random.default_rng(1).standard_normal((B, 64)).astype(np.float32)
+    ours = T2IFinalLayer(64, 4, 16)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))
+    params = _to_flax(ref_fl, params)
+    with torch.no_grad():
+        want = ref_fl(torch.tensor(x), torch.tensor(t)).numpy()
+    got = np.asarray(ours.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                                jnp.asarray(x), jnp.asarray(t)))
+    assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_full_block_parity_spatial(ref):
+    """The crown jewel: one full MultiViewSTDiT3Block (spatial, skip_cross_attn like
+    the brushnet blocks) vs our MVSTDiTBlock with converted weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MVSTDiTBlock
+    from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict
+
+    torch.manual_seed(5)
+    C, H = 64, 4
+    mv_order = {0: [1, 2], 1: [2, 0], 2: [0, 1]}
+    ref_block = ref.stdit3.MultiViewSTDiT3Block(
+        hidden_size=C, num_heads=H, qk_norm=True, skip_cross_attn=True,
+        sequence_parallelism_temporal=False,
+        enable_flash_attn=False, enable_xformers=False).eval()
+
+    # float64 on both sides separates systematic error from fp32 rounding drift
+    ref_block = ref_block.double()
+    b, NC, T, S = 1, 3, 2, 6
+    x = np.random.default_rng(0).standard_normal((b * NC, T * S, C))
+    t_mlp = np.random.default_rng(1).standard_normal((b, 6 * C))
+    with torch.no_grad():
+        want = ref_block(torch.tensor(x), None, torch.tensor(t_mlp), None,
+                         x_mask=None, t0=None, T=T, S=S, NC=NC,
+                         mv_order_map=mv_order).numpy()
+
+    ours = MVSTDiTBlock(hidden_size=C, num_heads=H, qk_norm=True,
+                        skip_cross_attn=True, dtype=jnp.float64,
+                        neighbors=tuple(tuple(v) for v in mv_order.values()))
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x4 = jnp.asarray(x.reshape(b * NC, T, S, C), jnp.float64)
+        y_dummy = jnp.zeros((b * NC, 1, 1, C), jnp.float64)
+        params = ours.init(jax.random.PRNGKey(0), x4, y_dummy,
+                           jnp.asarray(t_mlp, jnp.float64), None, None)
+        sd = {k: v.detach().double().numpy()
+              for k, v in ref_block.state_dict().items()}
+        params = convert_torch_state_dict(sd, params, strict=True)
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), params)
+        got = ours.apply(params, x4, y_dummy, jnp.asarray(t_mlp, jnp.float64),
+                         None, None)
+        got = np.asarray(got).reshape(b * NC, T * S, C)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()  # fp32 norm islands bound precision
