@@ -338,6 +338,7 @@ def load_checkpoint(path: str, *, params_like: Any = None, opt_state_like: Any =
     """
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)  # orbax/tensorstore requires absolute paths
     out: dict = {}
     ckptr = ocp.PyTreeCheckpointer()
 

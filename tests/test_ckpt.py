@@ -1,5 +1,6 @@
 """Checkpoint tests: torch<->flax conversion round-trip + orbax save/load/resume."""
 import numpy as np
+import os
 import pytest
 
 import jax
@@ -138,3 +139,15 @@ def test_rng_state_roundtrip(tmp_path):
     load_rng_state(str(tmp_path / "rng.pkl"))
     assert pyrandom.random() == expected_py
     assert np.random.rand() == expected_np
+
+
+def test_load_checkpoint_relative_path(tmp_path, monkeypatch):
+    """find_latest returns exp-dir-relative paths when configs use relative
+    `outputs`; orbax needs absolute (regression: resume failed on relative)."""
+    params = {"params": {"w": jnp.ones((2, 2))}}
+    monkeypatch.chdir(tmp_path)
+    save_checkpoint("ckpts", 3, params=params)
+    latest = find_latest("ckpts")
+    assert not os.path.isabs(latest)
+    out = load_checkpoint(latest)
+    assert np.allclose(out["params"]["params"]["w"], 1.0)
