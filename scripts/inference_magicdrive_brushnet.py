@@ -115,8 +115,11 @@ def main():
         if args.ped_dir:
             imgs, masks = load_pedestrian_inputs(args.ped_dir, num_frames, height,
                                                  width, nc)
-            batch["x_inpaint"] = jnp.asarray(imgs.reshape(b, nc * 3, num_frames,
-                                                          height, width))
+            # model expects channel-major (b, 3*NC, ...) like the latents
+            # (brushnet.py reshapes as (b, 3, NC, ...))
+            batch["x_inpaint"] = jnp.asarray(
+                imgs.transpose(1, 0, 2, 3, 4).reshape(b, 3 * nc, num_frames,
+                                                      height, width))
             batch["mask_inpaint"] = jnp.asarray(masks.reshape(b, nc, num_frames,
                                                               height, width))
         else:

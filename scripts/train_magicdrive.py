@@ -42,9 +42,14 @@ def build_dataloader(cfg, dp: int, rank: int = 0):
     from magicdrive_v2_tpu.datasets import prepare_dataloader
     from magicdrive_v2_tpu.registry import DATASETS, build_module
 
-    dataset = build_module(dict(cfg.dataset.data.train), DATASETS)
+    ds_cfg = dict(cfg.dataset.data.train)
+    # experiment-config knobs the reference passes into the dataset constructor
+    ds_cfg.setdefault("video_length", cfg.get("num_frames", 17))
+    if "img_collate_param_train" in cfg:
+        ds_cfg.setdefault("img_collate_param", dict(cfg.img_collate_param_train))
+    dataset = build_module(ds_cfg, DATASETS)
     return prepare_dataloader(
-        dataset, bucket_config=dict(cfg.get("bucket_config", {})),
+        dataset, bucket_config=dict(cfg.get("bucket_config", {})) or None,
         batch_size=cfg.get("batch_size", 1), num_replicas=dp, rank=rank,
         shuffle=True, seed=cfg.get("seed", 42),
         num_workers=cfg.get("num_workers", 4))
@@ -123,7 +128,61 @@ def main():
         loader = SyntheticLoader(model_cfg, cfg, dp)
         sampler = None
     else:
-        loader, sampler = build_dataloader(cfg, dp)
+        raw_loader, sampler = build_dataloader(cfg, dp)
+        # reference "encode" stage (train_magicdrive.py:513-540): collate -> VAE
+        # latents over the mesh (sp_vae) -> T5 text embeddings -> model layout
+        from magicdrive_v2_tpu.datasets import clip_to_model_batch
+        from magicdrive_v2_tpu.models.vae.cogvideox import (
+            CogVAEConfig, VideoAutoencoderKLCogVideoX)
+        from magicdrive_v2_tpu.parallel.sharding import sp_vae
+        from magicdrive_v2_tpu.registry import MODELS
+
+        vae_dict = dict(cfg.get("vae", {}))
+        for k in ("type", "from_pretrained", "subfolder"):
+            vae_dict.pop(k, None)
+        vae = VideoAutoencoderKLCogVideoX(CogVAEConfig(dtype=dtype), **vae_dict)
+        vae.init(jax.random.PRNGKey(0))
+        te_cfg = dict(cfg.get("text_encoder", {"type": "t5-dummy"}))
+        te_kind = te_cfg.pop("type", "t5-dummy")
+        try:
+            text_encoder = MODELS.get(te_kind)(**te_cfg)
+        except Exception as e:
+            logger.warning("text encoder %r unavailable (%s); t5-dummy", te_kind, e)
+            text_encoder = MODELS.get("t5-dummy")(
+                model_max_length=te_cfg.get("model_max_length", 300))
+        bbox_param = dict(model_cfg.bbox_embedder_param)
+        box_latent_dim = (bbox_param.get("class_token_dim", 1152)
+                          if bbox_param.get("sample_id") else None)
+
+        class EncodedLoader:
+            def __len__(self):
+                return len(raw_loader)
+
+            def __iter__(self):
+                rng_np = np.random.default_rng(cfg.get("seed", 42))
+                for raw in raw_loader:
+                    mb = clip_to_model_batch(raw, box_latent_dim=box_latent_dim,
+                                             rng=rng_np)
+                    x_px = jnp.asarray(mb.pop("x"), dtype)  # (B*NC, 3, T, H, W)
+                    lat = sp_vae(x_px, vae.encode, mesh)
+                    bb = raw["pixel_values"].shape[0]
+                    nc_ = lat.shape[0] // bb
+                    C = lat.shape[1]
+                    x = lat.reshape(bb, nc_, C, *lat.shape[2:]).transpose(
+                        0, 2, 1, 3, 4, 5).reshape(bb, C * nc_, *lat.shape[2:])
+                    enc = text_encoder.encode(mb.pop("captions"))
+                    batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+                             {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                             for k, v in mb.items()
+                             if k not in ("height", "width", "num_frames")}
+                    batch["x"] = x.astype(jnp.float32)
+                    batch["y"] = enc["y"]
+                    batch["num_frames"] = mb["num_frames"]
+                    batch["height"] = mb["height"]
+                    batch["width"] = mb["width"]
+                    yield batch
+
+        loader = EncodedLoader()
 
     # ---- init + shard ----
     with use_mesh(mesh):
