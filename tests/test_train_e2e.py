@@ -1,0 +1,94 @@
+"""End-to-end training app over REAL on-disk data: mini nuScenes -> pipeline ->
+VAE latents -> text encoding -> 2 compiled train steps -> checkpoint.
+
+Runs the actual CLI (subprocess) so the whole app surface is covered.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CFG_TEMPLATE = '''
+from magicdrive_v2_tpu.config.presets import MV_ORDER_MAP, rflow, xl2_model
+from magicdrive_v2_tpu.config.yaml_compose import load_yaml_config
+
+dtype = "fp32"
+seed = 0
+outputs = {out_dir!r}
+num_frames = 5
+image_size = (24, 40)
+bbox_mode = "all-xyz"
+mv_order_map = MV_ORDER_MAP
+vae_out_channels = 16
+
+model = xl2_model(bbox_mode=bbox_mode, control_skip_temporal=False)
+model.update(depth=2, control_depth=1, hidden_size=64, num_heads=4)
+model["bbox_embedder_param"].update(class_token_dim=64, proj_dims=[64, 32, 32, 64],
+                                    num_heads=4)
+model["frame_emb_param"].update(num_heads=4)
+model["map_embedder_param"].update(block_out_channels=[8, 16, 24, 32])
+model["model_max_length"] = 16
+model.pop("from_pretrained", None)
+
+scheduler = rflow()
+text_encoder = dict(type="t5-dummy", model_max_length=16)
+vae = dict(micro_frame_size=None, micro_batch_size=None)
+
+_yaml = load_yaml_config({yaml_path!r})
+_pipe = _yaml["train_pipeline"]
+for _t in _pipe:
+    if _t["type"] == "ImageAug3D":
+        _t["final_dim"] = [24, 40]
+        _t["resize_lim"] = [0.25, 0.25]
+    if _t["type"] == "LoadBEVSegmentation":
+        _t["xbound"] = [-50.0, 50.0, 1.0]
+        _t["ybound"] = [-50.0, 50.0, 1.0]
+dataset = dict(data=dict(train=dict(
+    type="NuScenesTDataset", ann_file={ann_file!r}, dataset_root="",
+    object_classes=_yaml["object_classes"], view_order=_yaml["view_order"],
+    pipeline=_pipe, start_on_keyframe=True, fps=12,
+    img_collate_param=dict(template=_yaml["template"], frame_emb="next2top",
+                           bbox_mode="all-xyz", bbox_processor_type=2))))
+
+lr = 1e-4
+grad_checkpoint = False
+batch_size = 1
+epochs = 1
+ckpt_every = 100
+log_every = 1
+mask_ratios = {{}}
+drop_cond_ratio = 0.15
+drop_cond_ratio_t = 0.4
+num_workers = 1
+'''
+
+
+@pytest.mark.slow
+def test_train_app_on_real_data(tmp_path):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers_mini_nuscenes import generate
+
+    ann_file = generate(str(tmp_path / "nusc"))
+    out_dir = str(tmp_path / "out")
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(CFG_TEMPLATE.format(
+        out_dir=out_dir, ann_file=ann_file,
+        yaml_path=os.path.join(REPO, "configs/dataset/Nuscenes.yaml")))
+
+    # clear conftest's 8-virtual-device XLA_FLAGS: with dp=8 the 2-clip dataset
+    # gives rank 0 a single batch
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="", XLA_FLAGS="")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/train_magicdrive.py"),
+         str(cfg_path), "--max-steps", "2"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = [json.loads(ln) for ln in
+               open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert len(metrics) >= 2
+    assert all(abs(m["loss"]) < 100 for m in metrics)
+    assert os.path.isdir(os.path.join(out_dir, "global_step2", "model"))
