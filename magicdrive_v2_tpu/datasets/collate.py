@@ -15,7 +15,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .bbox import pad_bboxes_to_maxlen, preprocess_bbox, preprocess_bbox_keep_all
+from .bbox import preprocess_bbox, preprocess_bbox_keep_all
 
 __all__ = ["collate_fn_single_clip", "clip_to_model_batch", "collate_clips"]
 

@@ -39,7 +39,6 @@ from ..layers.blocks import (
     Mlp,
     PatchEmbed3D,
     SelfAttention,
-    SharedKVAttention,
     SizeEmbedder,
     T2IFinalLayer,
     TimestepEmbedder,
