@@ -27,6 +27,11 @@ scheduler = rflow()
 
 lr = 1e-4
 grad_checkpoint = False
+# in-training validation (reference report_every; tiny 2-step sampler on CPU)
+report_every = 4
+num_validation = 1
+val_scheduler = rflow(num_sampling_steps=2)
+val_guidance_scale = 2.0
 batch_size = 1
 epochs = 1
 ckpt_every = 4

@@ -89,19 +89,51 @@ def make_train_step(model: MagicDriveSTDiT3, scheduler: RFLOW,
     return train_step
 
 
-def build_training(model, scheduler, params, cfg, *, height, width, num_frames,
-                   freeze_patterns=()):
-    """Convenience: optimizer from config knobs + state + jitted step."""
+def build_training_multibucket(model, scheduler, params, cfg, *,
+                               freeze_patterns=()):
+    """Optimizer + state + a per-bucket step factory.
+
+    The reference trains ~7 shape buckets in one run (reference
+    configs/magicdrive/train/stage3_higher-b-v3.1.py:85-102, consumed in
+    scripts/train_magicdrive.py:466-732). Under XLA each (height, width,
+    num_frames) bucket is one compiled program with its own static h/w/T baked
+    into timestep_transform — so steps are built and cached per bucket key,
+    sharing one TrainState/optimizer.
+
+    Returns (state, get_step) where get_step(height, width, num_frames) -> jitted
+    step fn for that bucket (cached; donates the incoming state).
+    """
     mask = trainable_mask(params, freeze_patterns)
     tx = make_optimizer(
         lr=cfg.get("lr", 8e-5), weight_decay=cfg.get("weight_decay", 1e-2),
         adam_eps=cfg.get("adam_eps", 1e-15), grad_clip=cfg.get("grad_clip", 1.0),
-        warmup_steps=cfg.get("warmup_steps", 0), trainable=mask)
+        warmup_steps=cfg.get("warmup_steps", 0),
+        milestones=cfg.get("lr_milestones", ()), gamma=cfg.get("lr_gamma", 0.1),
+        trainable=mask)
     state = create_train_state(params, tx, ema=True)
-    step = make_train_step(model, scheduler, tx, height=height, width=width,
-                           num_frames=num_frames, ema_decay=cfg.get("ema_decay", 0.99),
-                           ema_mask=mask)
-    return state, jax.jit(step, donate_argnums=0)
+    ema_decay = cfg.get("ema_decay", 0.99)
+    cache: Dict[tuple, Callable] = {}
+
+    def get_step(height, width, num_frames):
+        key = (float(height), float(width), int(num_frames))
+        if key not in cache:
+            step = make_train_step(
+                model, scheduler, tx, height=key[0], width=key[1],
+                num_frames=key[2], ema_decay=ema_decay, ema_mask=mask)
+            cache[key] = jax.jit(step, donate_argnums=0)
+        return cache[key]
+
+    get_step.tx = tx
+    get_step.trainable = mask
+    return state, get_step
+
+
+def build_training(model, scheduler, params, cfg, *, height, width, num_frames,
+                   freeze_patterns=()):
+    """Single-bucket convenience wrapper over build_training_multibucket."""
+    state, get_step = build_training_multibucket(
+        model, scheduler, params, cfg, freeze_patterns=freeze_patterns)
+    return state, get_step(height, width, num_frames)
 
 
 def make_brushnet_train_step(model, scheduler, tx, *, height: float, width: float,

@@ -96,7 +96,7 @@ def main():
     from magicdrive_v2_tpu.parallel.fsdp import shard_params
     from magicdrive_v2_tpu.parallel.sharding import make_mesh, use_mesh
     from magicdrive_v2_tpu.schedulers.rf import build_scheduler
-    from magicdrive_v2_tpu.training.trainer import build_training
+    from magicdrive_v2_tpu.training.trainer import build_training_multibucket
     from magicdrive_v2_tpu.utils.ckpt import (find_latest, load_checkpoint,
                                               save_checkpoint)
     from magicdrive_v2_tpu.utils.misc import Timer, format_numel_str, count_params
@@ -124,6 +124,7 @@ def main():
     scheduler = build_scheduler(cfg.scheduler)
 
     # ---- data ----
+    vae = text_encoder = None
     if args.synthetic or "dataset" not in cfg:
         loader = SyntheticLoader(model_cfg, cfg, dp)
         sampler = None
@@ -200,20 +201,27 @@ def main():
         logger.info("model params: %s", format_numel_str(count_params(params)))
         params, _ = shard_params(params, mesh)
 
-        state, step_fn = build_training(
-            model, scheduler, params, cfg, height=height, width=width,
-            num_frames=t_img, freeze_patterns=tuple(cfg.get("freeze_patterns", ())))
+        state, get_step = build_training_multibucket(
+            model, scheduler, params, cfg,
+            freeze_patterns=tuple(cfg.get("freeze_patterns", ())))
 
-        # ---- resume ----
+        # ---- resume (params + EMA + optimizer moments + LR position; reference
+        # ckpt_utils.py:159-256 restores the booster's sharded optimizer too) ----
         exp_dir = cfg.get("outputs", "outputs/train")
         os.makedirs(exp_dir, exist_ok=True)
         start_step = 0
         latest = find_latest(exp_dir)
         if latest and cfg.get("resume", True):
-            out = load_checkpoint(latest, load_ema=True)
-            state = state.replace(params=out["params"],
-                                  ema_params=out.get("ema") or state.ema_params)
+            out = load_checkpoint(latest, load_ema=True,
+                                  opt_state_like=state.opt_state)
             start_step = out["running_states"].get("step", 0)
+            state = state.replace(
+                step=jnp.asarray(start_step, jnp.int32),
+                params=out["params"],
+                opt_state=state.opt_state if out.get("opt_state") is None
+                else out["opt_state"],
+                ema_params=state.ema_params if out.get("ema") is None
+                else out["ema"])
             if sampler is not None and "sampler" in out["running_states"]:
                 sampler.load_state_dict(out["running_states"]["sampler"])
             logger.info("resumed from %s at step %d", latest, start_step)
@@ -237,6 +245,60 @@ def main():
             pass
         t_start = time.time()
 
+        # ---- in-training validation (reference train_magicdrive.py:700-713,
+        # train_utils.py:26-468: fixed seeds, EMA weights, report_every cadence) --
+        report_every = cfg.get("report_every")
+        _val = {"pipe": None, "batches": None}
+
+        def maybe_validate(cur_step, cur_state):
+            if not report_every or cur_step % report_every != 0:
+                return
+            from magicdrive_v2_tpu.pipelines.magicdrive import (
+                MagicDrivePipeline, synthetic_batch)
+            from magicdrive_v2_tpu.utils.train_utils import run_validation
+            vt, vh, vw = cfg.get("validation_bucket",
+                                 (t_img, int(height), int(width)))
+            if _val["pipe"] is None:
+                sched_inf = build_scheduler(dict(cfg.get("val_scheduler",
+                                                         cfg.scheduler)))
+                val_vae, val_te = vae, text_encoder
+                if val_vae is None:  # synthetic smoke: tiny decoder
+                    from magicdrive_v2_tpu.models.vae.cogvideox import (
+                        CogVAEConfig, VideoAutoencoderKLCogVideoX)
+                    val_vae = VideoAutoencoderKLCogVideoX(CogVAEConfig(
+                        block_out_channels=(8, 8, 8, 16), layers_per_block=1,
+                        norm_num_groups=4, dtype=dtype))
+                    val_vae.init(jax.random.PRNGKey(0))
+                if val_te is None:
+                    from magicdrive_v2_tpu.registry import MODELS
+                    val_te = MODELS.get("t5-dummy")(model_max_length=300)
+                _val["pipe"] = MagicDrivePipeline(model, cur_state.params,
+                                                  val_vae, val_te, sched_inf, cfg)
+                if vae is not None:
+                    # dataset mode: fixed real conditions from the first training
+                    # sample (reference's validation_index contract)
+                    cond_keys = ("y", "maps", "bbox", "cams", "rel_pos", "fps")
+                    _val["batches"] = [{k: example[k] for k in cond_keys
+                                        if k in example}]
+                else:
+                    n_val = cfg.get("num_validation", 1)
+                    batches = []
+                    for vi in range(n_val):
+                        vb = synthetic_batch(
+                            model_cfg, num_frames=vt, height=vh, width=vw,
+                            l_txt=model_cfg.model_max_length, b=1,
+                            map_size=(8, 200, 200), seed=1024 + vi)
+                        for k in ("x", "timestep", "height", "width"):
+                            vb.pop(k, None)
+                        batches.append(vb)
+                    _val["batches"] = batches
+            paths = run_validation(
+                _val["pipe"], _val["batches"], num_frames=vt, height=vh, width=vw,
+                out_dir=os.path.join(exp_dir, "validation"), step=cur_step,
+                guidance_scale=cfg.get("val_guidance_scale", 2.0),
+                params=cur_state.ema_params)
+            logger.info("validation at step %d: %s", cur_step, paths)
+
         step = start_step
         for epoch in range(cfg.get("epochs", 1)):
             for batch in loader:
@@ -244,8 +306,12 @@ def main():
                     break
                 batch = dict(batch)
                 t_img_b = batch.pop("num_frames", t_img)
-                batch.pop("height", None), batch.pop("width", None)
+                h_b = float(batch.pop("height", height))
+                w_b = float(batch.pop("width", width))
                 batch.pop("timestep", None), batch.pop("captions", None)
+                # per-bucket compiled step: static (H, W, T) feed
+                # timestep_transform; one XLA program per bucket (VERDICT r1 #3)
+                step_fn = get_step(h_b, w_b, t_img_b)
                 b = batch["x"].shape[0]
                 lat_t = batch["x"].shape[2]
                 batch["mask"] = jnp.asarray(
@@ -277,14 +343,17 @@ def main():
                 if step % ckpt_every == 0:
                     save_checkpoint(
                         exp_dir, step, params=state.params,
+                        opt_state=state.opt_state,
                         ema_params=state.ema_params,
                         running_states={"epoch": epoch},
                         sampler_state=None if sampler is None
                         else sampler.state_dict(step))
+                maybe_validate(step, state)
             if sampler is not None:
                 sampler.set_epoch(epoch + 1)
 
         save_checkpoint(exp_dir, step, params=state.params,
+                        opt_state=state.opt_state,
                         ema_params=state.ema_params,
                         running_states={"epoch": cfg.get("epochs", 1)},
                         sampler_state=None if sampler is None

@@ -68,6 +68,32 @@ num_workers = 1
 
 
 @pytest.mark.slow
+def test_train_app_validation_and_full_resume(tmp_path):
+    """Smoke-config app run: in-training validation fires at report_every and a
+    second invocation resumes params + optimizer + step (VERDICT r1 #3/#5)."""
+    out_dir = str(tmp_path / "smoke")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="", XLA_FLAGS="")
+    cmd = [sys.executable, os.path.join(REPO, "scripts/train_magicdrive.py"),
+           os.path.join(REPO, "configs/magicdrive/train/smoke_tiny.py"),
+           "--synthetic", "--cfg-options", f"outputs={out_dir}"]
+    proc = subprocess.run(cmd + ["--max-steps", "4"], capture_output=True,
+                          text=True, timeout=560, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    step_dir = os.path.join(out_dir, "global_step4")
+    assert os.path.isdir(os.path.join(step_dir, "optimizer")), \
+        "optimizer state missing from checkpoint"
+    val_dir = os.path.join(out_dir, "validation")
+    assert os.path.isdir(val_dir) and os.listdir(val_dir), \
+        "run_validation produced no artifacts at report_every"
+
+    proc2 = subprocess.run(cmd + ["--max-steps", "1"], capture_output=True,
+                           text=True, timeout=560, env=env, cwd=REPO)
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    assert "resumed from" in proc2.stderr + proc2.stdout
+    assert os.path.isdir(os.path.join(out_dir, "global_step5"))
+
+
+@pytest.mark.slow
 def test_train_app_on_real_data(tmp_path):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from helpers_mini_nuscenes import generate
