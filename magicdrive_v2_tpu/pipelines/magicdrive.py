@@ -157,32 +157,31 @@ class MagicDrivePipeline:
 
     # ------------------------------------------------------------------
     def _build_predict_fn(self, model_args: Dict, guidance_scale: float,
-                          slice_cfg: bool, z_shape=None):
+                          slice_cfg: bool, z_shape=None, null_y=None):
         """Returns predict(z, t, x_mask) -> CFG-combined velocity; model_args hold the
         conditioning (already doubled for batched CFG). z_shape (the latent shape)
-        enables the per-sample condition cache."""
+        enables the per-sample condition cache. null_y overrides the y_embedder null
+        embedding in CFG (reference neg_prompts, rf/__init__.py:58-59)."""
         scale = guidance_scale
         apply = self.model.apply
         params = self.params
+        if null_y is None:
+            null_y = self.null_y(model_args["y"].shape[0])
 
         def cond_cache_for(args, z_shape):
             """Precompute step-independent conditioning once per sample (the
             reference re-embeds every Euler step, magicdrive_stdit3.py:1115-1157)."""
             if any(k in args for k in ("x_inpaint",)):  # brushnet variants: skip
                 return None
-            try:
-                return apply(params, tuple(z_shape), args["y"], args["maps"],
-                             args.get("bbox"), args["cams"], args["rel_pos"],
-                             method=type(self.model).encode_conditions)
-            except Exception as e:  # pragma: no cover
-                logging.warning("cond cache unavailable (%s)", e)
-                return None
+            # no blanket try/except here: a broken encode_conditions must fail
+            # loudly, not silently re-embed conditions every Euler step
+            return apply(params, tuple(z_shape), args["y"], args["maps"],
+                         args.get("bbox"), args["cams"], args["rel_pos"],
+                         method=type(self.model).encode_conditions)
 
         if not slice_cfg:
             args2 = add_null_condition(model_args, self.uncond_cam, self.uncond_rel_pos)
-            y2 = jnp.concatenate([model_args["y"], self.null_y(model_args["y"].shape[0])],
-                                 axis=0)
-            args2["y"] = y2
+            args2["y"] = jnp.concatenate([model_args["y"], null_y], axis=0)
             # computed HERE (outside the sampler's lax.scan) so the 30-step loop
             # reuses the same embedded conditions
             cache2 = cond_cache_for(args2, (2 * z_shape[0],) + tuple(z_shape[1:])) \
@@ -202,8 +201,7 @@ class MagicDrivePipeline:
             return predict
 
         null_args = replace_with_null_condition(
-            model_args, self.uncond_cam, self.uncond_rel_pos,
-            self.null_y(model_args["y"].shape[0]),
+            model_args, self.uncond_cam, self.uncond_rel_pos, null_y,
             ["y", "bbox", "cams", "rel_pos"])
         cache_c = cond_cache_for(model_args, z_shape) if z_shape is not None else None
         cache_n = cond_cache_for(null_args, z_shape) if z_shape is not None else None
@@ -223,7 +221,8 @@ class MagicDrivePipeline:
     def sample(self, batch: Dict, *, num_frames: int, height: int, width: int,
                rng: Optional[jax.Array] = None, z: Optional[jnp.ndarray] = None,
                mask: Optional[jnp.ndarray] = None, guidance_scale: Optional[float] = None,
-               decode: bool = True, torch_seed: Optional[int] = None):
+               decode: bool = True, torch_seed: Optional[int] = None,
+               neg_prompts: Optional[list] = None):
         """Generate a sample.
 
         batch: dict with y (B,1,L,4096) [or 'captions' strings], maps, bbox, cams,
@@ -255,9 +254,14 @@ class MagicDrivePipeline:
                                             "fps", "x_inpaint", "mask_inpaint",
                                             "t_inpaint", "rngs_key", "num_timesteps")
                       if k in batch}
+        null_y = None
+        if neg_prompts is not None:
+            ny = self.text_encoder.encode(list(neg_prompts))["y"]
+            null_y = jnp.broadcast_to(ny, (b,) + tuple(ny.shape[1:])) \
+                if ny.shape[0] != b else ny
         predict = self._build_predict_fn(
             {**model_args, "height": float(height), "width": float(width)},
-            guidance_scale, sched.slice_cfg, z_shape=tuple(z.shape))
+            guidance_scale, sched.slice_cfg, z_shape=tuple(z.shape), null_y=null_y)
 
         hw = dict(height=jnp.full((z.shape[0],), float(height)),
                   width=jnp.full((z.shape[0],), float(width)),

@@ -11,6 +11,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Weather/time-of-day prompt editing (reference scripts/inference_magicdrive.py:402-430):
+# force_daytime scrubs rain/night vocabulary and pins the city; force_rainy /
+# force_night substitute a canonical prompt when the keyword is absent. Each mode
+# also supplies a negative prompt that replaces the null-y in CFG.
+_DAYTIME_SCRUBS = (
+    ("rain", "sunny"), ("water reflections", ""), ("reflections in water", ""),
+    (" with umbrellas", ""), (" with umbrella", ""), (" holds umbrella", ""),
+    ("night", ""), (" in dark", ""), (" dark", ""), (" difficult lighting", ""),
+    ("boston-seaport", "singapore-onenorth"),
+    ("singapore-hollandvillage", "singapore-onenorth"),
+)
+_RAINY_PROMPT = "A driving scene image at boston-seaport. Rain. water reflections."
+_NIGHT_PROMPT = ("A driving scene image at singapore-hollandvillage. "
+                 "Night, congestion. difficult lighting. very dark.")
+_NEG_PROMPTS = {
+    "daytime": "Rain, Night, water reflections, umbrella",
+    "rainy": "Daytime. night, onenorth, queenstown",
+    "night": "Daytime. rain, boston-seaport",
+}
+
+
+def edit_prompt(prompt: str, *, force_daytime: bool = False,
+                force_rainy: bool = False, force_night: bool = False):
+    """Returns (edited_prompt, neg_prompt | None)."""
+    if force_daytime:
+        out = "Daytime. " + prompt.lower()
+        for a, b in _DAYTIME_SCRUBS:
+            out = out.replace(a, b)
+        return out, _NEG_PROMPTS["daytime"]
+    if force_rainy:
+        out = prompt if "rain" in prompt.lower() else _RAINY_PROMPT
+        return out, _NEG_PROMPTS["rainy"]
+    if force_night:
+        out = prompt if "night" in prompt.lower() else _NIGHT_PROMPT
+        return out, _NEG_PROMPTS["night"]
+    return prompt, None
+
+
 def _null_cams_like(cams: jnp.ndarray, uncond: jnp.ndarray) -> jnp.ndarray:
     """cams: (BNC, T, 1, r, c); uncond: (r', c) broadcast to every entry."""
     r, c = uncond.shape

@@ -48,7 +48,8 @@ def main():
     from magicdrive_v2_tpu.pipelines.magicdrive import (MagicDrivePipeline,
                                                         synthetic_batch)
     from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict, load_torch_file
-    from magicdrive_v2_tpu.utils.inference_utils import concat_6_views, save_sample
+    from magicdrive_v2_tpu.utils.inference_utils import (concat_6_views,
+                                                         edit_prompt, save_sample)
 
     cfg = Config.fromfile(args.config)
     merge_dot_options(cfg, args.cfg_options)
@@ -88,8 +89,17 @@ def main():
         def get_batch(ns):
             clip = dataset[cfg.validation_index[ns]]
             batch = clip_to_model_batch(collate_clips([clip]))
-            y = pipe.text_encoder.encode(batch.pop("captions"))
+            captions = batch.pop("captions")
+            # force_daytime/rainy/night prompt editing (reference
+            # inference_magicdrive.py:402-430); negative prompt replaces null-y
+            edited, neg = zip(*(edit_prompt(
+                c, force_daytime=cfg.get("force_daytime", False),
+                force_rainy=cfg.get("force_rainy", False),
+                force_night=cfg.get("force_night", False)) for c in captions))
+            y = pipe.text_encoder.encode(list(edited))
             batch["y"] = y["y"]
+            if any(n is not None for n in neg):
+                batch["neg_prompts"] = [n or "" for n in neg]
             return batch
         indices = (cfg.get("validation_index", [0]))[: args.num_samples or None]
 
@@ -98,8 +108,9 @@ def main():
         batch = get_batch(ns)
         batch.pop("height", None), batch.pop("width", None)
         rng = jax.random.PRNGKey(1024 + ns)
+        neg = batch.pop("neg_prompts", None)
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
-                           guidance_scale=guidance, rng=rng,
+                           guidance_scale=guidance, rng=rng, neg_prompts=neg,
                            torch_seed=1024 + ns)  # reference seed contract
         # vids: (b, NC, 3, T, H, W) float in [-1, 1]
         for bi in range(vids.shape[0]):

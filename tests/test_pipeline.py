@@ -140,3 +140,35 @@ def test_torch_randn_matches_reference_contract():
     want = torch.randn(2, 3, 4).numpy()
     got = torch_randn((2, 3, 4), seed=1024)
     assert np.array_equal(got, want)
+
+
+def test_edit_prompt_modes():
+    from magicdrive_v2_tpu.utils.inference_utils import edit_prompt
+
+    p = "A driving scene at boston-seaport. Rain at night, water reflections."
+    day, neg = edit_prompt(p, force_daytime=True)
+    assert day.startswith("Daytime. ")
+    assert "rain" not in day and "night" not in day
+    assert "boston-seaport" not in day and "singapore-onenorth" in day
+    assert "Rain" in neg and "Night" in neg
+
+    rainy, neg = edit_prompt("A sunny day.", force_rainy=True)
+    assert "Rain" in rainy and "Daytime" in neg
+    same, _ = edit_prompt("Heavy rain ahead.", force_rainy=True)
+    assert same == "Heavy rain ahead."
+
+    night, neg = edit_prompt("A sunny day.", force_night=True)
+    assert "Night" in night and "rain" in neg
+    plain, neg = edit_prompt(p)
+    assert plain == p and neg is None
+
+
+def test_neg_prompts_change_cfg_output(pipe):
+    batch = _cond_batch(Config(TINY_CFG))
+    z = jnp.zeros((1, 24, 3, 4, 5), jnp.float32)
+    s_null = pipe.sample(batch, num_frames=9, height=32, width=40, z=z,
+                         decode=False, rng=jax.random.PRNGKey(3))
+    s_neg = pipe.sample(batch, num_frames=9, height=32, width=40, z=z,
+                        decode=False, rng=jax.random.PRNGKey(3),
+                        neg_prompts=["rain, night"])
+    assert not np.allclose(np.asarray(s_null), np.asarray(s_neg))
