@@ -14,7 +14,10 @@ bbox_mode = "all-xyz"
 img_collate_param_train = img_collate_param(bbox_mode)
 
 sp_size = 4
-force_pad_h_for_sp_size = 8  # simulate-sp8 padding so checkpoints run at sp<=8
+# reference sp4simu8 recipe: random train-time H-pad for sp in {4, 8} so the
+# checkpoint runs at either without the grid effect (ref stage3 ...sp4simu8.py:166)
+simulate_sp_size = [4, 8]
+force_pad_h_for_sp_size = None
 mv_order_map = MV_ORDER_MAP
 vae_out_channels = 16
 

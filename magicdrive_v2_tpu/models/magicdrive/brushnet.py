@@ -194,7 +194,8 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
                  height: float, width: float, x_inpaint=None, mask_inpaint=None,
                  drop_cond_mask=None, drop_frame_mask=None, x_mask=None,
                  t_inpaint=None, num_timesteps: float = 1000.0,
-                 noise_inpaint=None, rngs_key: Optional[jax.Array] = None):
+                 noise_inpaint=None, rngs_key: Optional[jax.Array] = None,
+                 simulate_sp: Optional[int] = None):
         """Forward (reference :1466-1867; SDE :1977-2470). x_inpaint: (b, 3*NC, T_img,
         H, W) pixels; mask_inpaint: (b, NC, T_img, H, W) in [0, 1]."""
         cfg = self.cfg
@@ -234,13 +235,7 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
                       + (1 - tp) * noise_inpaint.astype(jnp.float32)).astype(dt)
 
         T, H, W = self.get_dynamic_size((Tx, Hx, Wx))
-        from ...parallel.sharding import sp_size
-        h_pad_size = 0
-        pad_to = cfg.force_pad_h_for_sp_size
-        if pad_to is None and cfg.enable_sequence_parallelism:
-            pad_to = sp_size()
-        if pad_to and (H * W) % pad_to != 0:
-            h_pad_size = pad_to - H % pad_to
+        h_pad_size = self._h_pad_size(H, W, simulate_sp)
         if h_pad_size > 0:
             hx_pad = h_pad_size * cfg.patch_size[1]
             pad5 = ((0, 0), (0, 0), (0, 0), (0, hx_pad), (0, 0))

@@ -535,9 +535,18 @@ class MagicDriveSTDiT3(nn.Module):
         c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
         return y_cond, c_map.reshape(B, T, S, -1)
 
-    def _h_pad_size(self, H: int, W: int) -> int:
+    def _h_pad_size(self, H: int, W: int, simulate_sp: Optional[int] = None) -> int:
+        """H padding so S=H*W divides the (real or simulated) sp size.
+
+        Priority mirrors the reference (magicdrive_stdit3.py:1054-1110):
+        force_pad_h_for_sp_size > simulate_sp (training-time random pick from
+        `simulate_sp_size`, chosen host-side per step so each pad variant is its
+        own compiled program) > the actual mesh sp size.
+        """
         cfg = self.cfg
         pad_to = cfg.force_pad_h_for_sp_size
+        if pad_to is None and simulate_sp:
+            pad_to = simulate_sp
         if pad_to is None and cfg.enable_sequence_parallelism:
             pad_to = sp_size()
         if pad_to and (H * W) % pad_to != 0:
@@ -546,7 +555,8 @@ class MagicDriveSTDiT3(nn.Module):
 
     def __call__(self, x, timestep, y, maps, bbox, cams, rel_pos, fps,
                  height: float, width: float, drop_cond_mask=None,
-                 drop_frame_mask=None, x_mask=None, cond_cache=None):
+                 drop_frame_mask=None, x_mask=None, cond_cache=None,
+                 simulate_sp: Optional[int] = None):
         """Forward (reference magicdrive_stdit3.py:1021-1218).
 
         x: (b, C*NC, T', H', W') latents; timestep: (b,); y: (b, 1, L, 4096);
@@ -576,7 +586,7 @@ class MagicDriveSTDiT3(nn.Module):
         T, H, W = self.get_dynamic_size((Tx, Hx, Wx))
 
         # H padding for SP divisibility (reference magicdrive_stdit3.py:1054-1110)
-        h_pad_size = self._h_pad_size(H, W)
+        h_pad_size = self._h_pad_size(H, W, simulate_sp)
         if h_pad_size > 0:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, h_pad_size * cfg.patch_size[1]),
                             (0, 0)))
@@ -676,9 +686,14 @@ def build_model_config(model_cfg: Dict, vae_out_channels: int = 16,
               "freeze_temporal_blocks", "freeze_old_params", "zero_and_train_embedder",
               "only_train_base_blocks", "only_train_temp_blocks",
               "only_train_extra_blocks", "qk_norm_trainable", "use_st_cross_attn",
-              "sequence_parallelism_temporal", "simulate_sp_size", "input_size",
+              "sequence_parallelism_temporal", "input_size",
               "drop_path", "class_dropout_prob"):
         d.pop(k, None)
+    # simulate_sp_size is a TRAINING feature (random H-pad so one checkpoint runs
+    # at any sp in the list, reference magicdrive_stdit3.py:1056-1089); it is
+    # consumed by the train app (per-step static pad -> per-variant compiled step),
+    # not stored on the model config.
+    d.pop("simulate_sp_size", None)
     d.update(overrides)
     d["dtype"] = dtype
     return MagicDriveSTDiT3Config.from_dict(d)

@@ -46,11 +46,13 @@ def create_train_state(params, tx: optax.GradientTransformation,
 def make_train_step(model: MagicDriveSTDiT3, scheduler: RFLOW,
                     tx: optax.GradientTransformation, *, height: float, width: float,
                     num_frames: int, ema_decay: float = 0.99,
-                    ema_mask=None) -> Callable:
+                    ema_mask=None, simulate_sp: Optional[int] = None) -> Callable:
     """Build the jittable step for one (height, width, num_frames) bucket.
 
     batch: x (b, C*NC, T', H', W') latents; y, maps, bbox, cams, rel_pos, fps;
     optional mask (b, T') frame mask, drop_cond_mask, drop_frame_mask.
+    simulate_sp: pad H as if running at that sp size (reference simulate_sp_size,
+    magicdrive_stdit3.py:1056-1089) — static, so each value is its own program.
     """
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
@@ -67,7 +69,8 @@ def make_train_step(model: MagicDriveSTDiT3, scheduler: RFLOW,
         def loss_fn(params):
             def model_fn(x_t, t, x_mask):
                 return model.apply(params, x_t, t, **cond, height=float(height),
-                                   width=float(width), x_mask=x_mask)
+                                   width=float(width), x_mask=x_mask,
+                                   simulate_sp=simulate_sp)
 
             out = scheduler.training_losses(model_fn, rng, x, mask=mask, **hw)
             return out["loss"].mean(), out["t"]
@@ -114,12 +117,14 @@ def build_training_multibucket(model, scheduler, params, cfg, *,
     ema_decay = cfg.get("ema_decay", 0.99)
     cache: Dict[tuple, Callable] = {}
 
-    def get_step(height, width, num_frames):
-        key = (float(height), float(width), int(num_frames))
+    def get_step(height, width, num_frames, simulate_sp=None):
+        key = (float(height), float(width), int(num_frames),
+               None if simulate_sp is None else int(simulate_sp))
         if key not in cache:
             step = make_train_step(
                 model, scheduler, tx, height=key[0], width=key[1],
-                num_frames=key[2], ema_decay=ema_decay, ema_mask=mask)
+                num_frames=key[2], ema_decay=ema_decay, ema_mask=mask,
+                simulate_sp=key[3])
             cache[key] = jax.jit(step, donate_argnums=0)
         return cache[key]
 

@@ -229,6 +229,15 @@ def main():
         # ---- loop ----
         mask_gen = MaskGenerator(dict(cfg.get("mask_ratios", {})),
                                  rng=pyrandom.Random(cfg.get("seed", 42)))
+        # simulate_sp_size (reference magicdrive_stdit3.py:1056-1089): random
+        # training-time H-pad from this list so one checkpoint runs at any of
+        # these sp sizes without the grid effect. Only values >= the real sp are
+        # eligible (reference :1070-1077); host-side pick -> per-pad compiled step.
+        simu_sp_list = list(cfg.model.get("simulate_sp_size", ())
+                            if hasattr(cfg, "model") else ()) \
+            or list(cfg.get("simulate_sp_size", ()))
+        if sp > 1:
+            simu_sp_list = [s for s in simu_sp_list if s >= sp]
         drop_cond_ratio = cfg.get("drop_cond_ratio", 0.0)
         drop_cond_ratio_t = cfg.get("drop_cond_ratio_t", 0.0)
         ckpt_every = cfg.get("ckpt_every", 1000)
@@ -311,7 +320,8 @@ def main():
                 batch.pop("timestep", None), batch.pop("captions", None)
                 # per-bucket compiled step: static (H, W, T) feed
                 # timestep_transform; one XLA program per bucket (VERDICT r1 #3)
-                step_fn = get_step(h_b, w_b, t_img_b)
+                simu_sp = host_rng.choice(simu_sp_list) if simu_sp_list else None
+                step_fn = get_step(h_b, w_b, t_img_b, simulate_sp=simu_sp)
                 b = batch["x"].shape[0]
                 lat_t = batch["x"].shape[2]
                 batch["mask"] = jnp.asarray(
