@@ -70,9 +70,78 @@ def estimate_step_flops(cfg, B, T, S, L_cond, T_img) -> float:
     return 2.0 * total_macs  # MAC -> FLOP
 
 
+def train_step_metric():
+    """Single-chip training-iteration time at the reference's 424x800x17f bucket.
+
+    Reference anchor (BASELINE.md rows 21-28): 32-34 s/it at bs=6 per dp-group on
+    32 GPUs with sp=4 -> 48 samples x 17 frames / (33 s x 32 chips) = 0.773
+    frames/s/chip. Here: bs=1 (one 6-view 17f sample) on one chip, remat on,
+    full loss + grads + AdamW + EMA. Diffusion step only (the reference's
+    iteration also carries VAE/text encode + data loading, so this comparison
+    flatters the reference's number, not ours). Single-chip memory forces bf16
+    optimizer/EMA states; the multi-chip recipe shards fp32 states via FSDP
+    (see __graft_entry__.dryrun_multichip).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+    from magicdrive_v2_tpu.schedulers.rf import RFLOW
+    from magicdrive_v2_tpu.training.trainer import build_training
+
+    num_frames, height, width = NUM_FRAMES, HEIGHT, WIDTH
+    cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(cfg, grad_checkpoint=True)
+    model = MagicDriveSTDiT3(cfg)
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
+                            l_txt=60, b=1, map_size=(8, 400, 400))
+    batch.pop("height"), batch.pop("width")
+    batch.pop("timestep")
+    params = _fast_init(model, {**batch, "timestep": jnp.full((1,), 500.0),
+                                "height": float(height), "width": float(width)})
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+    batch["mask"] = jnp.ones((1, batch["x"].shape[2]), jnp.float32)
+    batch = jax.device_put(batch)
+
+    scheduler = RFLOW(num_timesteps=1000, use_timestep_transform=True,
+                      cog_style_trans=True)
+    from magicdrive_v2_tpu.config import Config
+    state, step = build_training(model, scheduler, params, Config(lr=8e-5),
+                                 height=height, width=width, num_frames=num_frames)
+    rng = jax.random.PRNGKey(0)
+    state, metrics = step(state, batch, rng)  # compile
+    _ = float(metrics["loss"])
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    t_it = float(np.median(times))
+    fps_chip = NUM_FRAMES / t_it
+    ref_fps_chip = 48 * 17 / (33.0 * 32)  # 0.773, see docstring
+    return dict(train_step_s=round(t_it, 3),
+                train_frames_per_s_chip=round(fps_chip, 4),
+                train_vs_baseline=round(fps_chip / ref_fps_chip, 4),
+                train_shape=f"6x{HEIGHT}x{WIDTH}x{NUM_FRAMES}f bs=1 remat")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache: repeat bench runs skip the ~10 min compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from __graft_entry__ import _fast_init, _flagship_config
     from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
@@ -156,6 +225,11 @@ def main():
                   step_flops=flops, mfu_vs_peak=round(mfu, 3),
                   shape=f"6x{height}x{width}x{num_frames}f",
                   chained_steps=CHAINED_STEPS)
+    if on_tpu and os.environ.get("MDV2_BENCH_TRAIN", "1") != "0":
+        try:
+            extras.update(train_step_metric())
+        except Exception as e:  # train bench is best-effort; never lose the metric
+            extras["train_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({
         "metric": f"6-view frames/sec/chip, {height}x{width}x{num_frames}f, "
                   f"{NUM_STEPS}-step CFG diffusion",

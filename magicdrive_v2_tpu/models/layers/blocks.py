@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import dot_product_attention
+from ...ops.flash_fused import fused_qkv_attention
 from ...ops.rope import apply_rope
-from ...parallel.sharding import SP_AXIS, shard_hint
+from ...parallel.sharding import SP_AXIS, get_current_mesh, shard_hint
 
 Dtype = Any
 xavier_uniform = nn.initializers.xavier_uniform()
@@ -231,6 +232,40 @@ def pos_embedding_2d(dim: int, h: int, w: int, scale: float = 1.0,
 # ---------------------------------------------------------------------------
 
 
+class _NormWeight(nn.Module):
+    """Holds an RMSNorm weight with the same param tree as RMSNorm (name/weight)
+    so the fused-attention path (which normalizes inside the kernel) and the XLA
+    fallback share one checkpoint layout."""
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+
+
+def _rms_apply(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Functional RMSNorm matching the RMSNorm module's numerics."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    x32 = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    return (weight * x32.astype(dtype)).astype(dtype)
+
+
+def _use_fused_attention(seq_len: int) -> bool:
+    """The Pallas fused-qkv kernel (ops/flash_fused.py) — OPT-IN via
+    MDV2_FUSED_ATTN=1 while it trails the XLA composition in-graph (block
+    microbench: 99 vs 75 ms/spatial-block at 424p; standalone the kernel wins,
+    but in-graph the custom call's operand relayout + lost fusion eat the gain —
+    see docs/PERF.md). Requires tracing OUTSIDE a mesh context (under GSPMD the
+    XLA composition keeps sequence sharding) and k/v rows that fit VMEM."""
+    import os
+    if os.environ.get("MDV2_FUSED_ATTN") != "1":
+        return False
+    if get_current_mesh() is not None:
+        return False
+    return seq_len <= 6144
+
+
 class SelfAttention(nn.Module):
     """Fused-QKV self-attention with optional per-head RMS qk-norm and RoPE
     (reference Attention, blocks.py:158-278)."""
@@ -248,11 +283,23 @@ class SelfAttention(nn.Module):
         H, D = self.num_heads, self.dim // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=xavier_uniform, name="qkv")(x)
+        qw = kw = None
+        if self.qk_norm:
+            qw = _NormWeight(D, name="q_norm")()
+            kw = _NormWeight(D, name="k_norm")()
+        if not self.use_rope and _use_fused_attention(N):
+            # fused Pallas path: RMSNorm + attention straight off the qkv
+            # projection, no head transposes (ops/flash_fused.py)
+            out = fused_qkv_attention(qkv.reshape(B, N, 3, H, D), qw, kw, None,
+                                      D ** -0.5)
+            out = out.reshape(B, N, C)
+            return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init,
+                            name="proj")(out)
         q, k, v = jnp.split(qkv.reshape(B, N, 3, H, D), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
         if self.qk_norm:
-            q = RMSNorm(D, name="q_norm")(q)
-            k = RMSNorm(D, name="k_norm")(k)
+            q = _rms_apply(q, qw)
+            k = _rms_apply(k, kw)
         if self.use_rope:
             q = apply_rope(q.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
             k = apply_rope(k.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
@@ -307,9 +354,17 @@ class CrossViewAttention(nn.Module):
     Parameter layout matches SharedKVAttention (one shared qkv), but q/k/v are
     projected ONCE per camera and neighbors are gathered post-projection — the
     reference (and our earlier version) projected the duplicated per-neighbor
-    tensors, doing ~2x the projection FLOPs. Per-neighbor softmax + per-neighbor
-    output proj (incl. bias), summed over neighbors, matching the reference's
-    sum of per-neighbor attention outputs.
+    tensors, doing ~2x the projection FLOPs.
+
+    Attention runs as one call PER NEIGHBOR (not one call with neighbors folded
+    into batch): folding n_nbr into batch pushed the fp32 logits over the
+    chunked-attention threshold, turning this site into a fori_loop of
+    dynamic-update-slices (~0.7 s/step of pure update traffic in the 424p device
+    profile); per-neighbor calls keep each attention on the fast fused-XLA path.
+
+    The reference sums per-neighbor `proj(attn_j)` outputs; since proj is linear
+    this equals `proj(sum_j attn_j)` plus (n_nbr-1) extra bias terms — computed
+    that way here to halve the output-projection FLOPs with identical numerics.
     """
     dim: int
     num_heads: int
@@ -332,22 +387,50 @@ class CrossViewAttention(nn.Module):
                               jnp.float32).astype(self.dtype)
         else:
             bias = jnp.zeros((3 * C,), self.dtype)
-        qkv = (x_mv @ kernel + bias).reshape(Bp, NC, S, 3, H, D)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        qkv = (x_mv @ kernel + bias)
+        qw = kw = None
         if self.qk_norm:
-            q = RMSNorm(D, name="q_norm")(q)
-            k = RMSNorm(D, name="k_norm")(k)
-        # gather neighbor k/v; broadcast q per neighbor
-        k_n = k[:, nbr.reshape(-1)].reshape(Bp, NC, n_nbr, S, H, D)
-        v_n = v[:, nbr.reshape(-1)].reshape(Bp, NC, n_nbr, S, H, D)
-        q_n = jnp.broadcast_to(q[:, :, None], (Bp, NC, n_nbr, S, H, D))
-        flat = (Bp * NC * n_nbr, S, H, D)
-        out = dot_product_attention(q_n.reshape(flat), k_n.reshape(flat),
-                                    v_n.reshape(flat), scale=D ** -0.5)
-        out = out.reshape(Bp, NC, n_nbr, S, C)
-        out = nn.Dense(C, dtype=self.dtype, kernel_init=xavier_uniform,
-                       name="proj")(out)
-        return out.sum(axis=2)  # (B', NC, S, C)
+            qw = _NormWeight(D, name="q_norm")()
+            kw = _NormWeight(D, name="k_norm")()
+        if _use_fused_attention(S):
+            # fused Pallas path: the neighbor gather becomes a static (n_nbr, G)
+            # group permutation resolved in the kernel's index map — no k/v
+            # copy, one kernel call for all neighbors (per-neighbor softmax,
+            # summed in VMEM)
+            qkv5 = qkv.reshape(Bp * NC, S, 3, H, D)
+            base = np.arange(Bp)[:, None] * NC
+            perm = tuple(tuple((base + nbr[None, :, j]).reshape(-1).tolist())
+                         for j in range(n_nbr))
+            out = fused_qkv_attention(qkv5, qw, kw, perm, D ** -0.5)
+            out = out.reshape(Bp, NC, S, C)
+        else:
+            qkv6 = qkv.reshape(Bp, NC, S, 3, H, D)
+            q, k, v = qkv6[..., 0, :, :], qkv6[..., 1, :, :], qkv6[..., 2, :, :]
+            if self.qk_norm:
+                q = _rms_apply(q, qw)
+                k = _rms_apply(k, kw)
+            # per-neighbor attention on gathered k/v, summed (per-neighbor
+            # softmax). The neighbor gather is unrolled into static slices —
+            # an advanced-index gather here lowers to an XLA while-loop of
+            # dynamic-update-slices (~7.5 ms/block measured, docs/PERF.md).
+            flat = (Bp * NC, S, H, D)
+            q_f = q.reshape(flat)
+            out = None
+            for j in range(n_nbr):
+                k_j = jnp.stack([k[:, int(i)] for i in nbr[:, j]],
+                                axis=1).reshape(flat)
+                v_j = jnp.stack([v[:, int(i)] for i in nbr[:, j]],
+                                axis=1).reshape(flat)
+                o = dot_product_attention(q_f, k_j, v_j, scale=D ** -0.5)
+                out = o if out is None else out + o
+            out = out.reshape(Bp, NC, S, C)
+        proj = nn.Dense(C, dtype=self.dtype, kernel_init=xavier_uniform, name="proj")
+        out = proj(out)
+        if n_nbr > 1:
+            # the reference applies proj per neighbor, so its bias enters n_nbr
+            # times; proj(zeros) == bias, which XLA folds to a constant
+            out = out + (n_nbr - 1) * proj(jnp.zeros((1, 1, 1, C), out.dtype))
+        return out  # (B', NC, S, C)
 
 
 class CrossAttention(nn.Module):

@@ -15,6 +15,7 @@ Layout convention is BNHD: (batch, seq, heads, head_dim).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -34,15 +35,30 @@ def _on_tpu() -> bool:
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   scale: Optional[float] = None,
                   bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """(B, N, H, D) x (B, M, H, D) -> (B, N, H, D); softmax in fp32."""
+    """(B, N, H, D) x (B, M, H, D) -> (B, N, H, D); softmax in fp32.
+
+    head_dim zero-padding to a lane multiple (MDV2_ATTN_PAD=1, default OFF): tried as the
+    (b, n, h, d) -> (b, h, d, n) operand relayouts XLA inserts run ~5x faster
+    on a 128-aligned minor dim in theory, but measured SLOWER e2e (91 vs 75
+    ms/spatial-block at 424p) — the pads cost more than the relayout saves. Zero
+    columns change no numerics (q.k over zeros; extra v columns sliced off);
+    MXU pads d internally either way."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    D = q.shape[-1]
+    pad = (-D) % 128
+    if pad and os.environ.get("MDV2_ATTN_PAD") == "1":
+        widths = ((0, 0), (0, 0), (0, 0), (0, pad))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+    out = jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+    return out[..., :D] if (pad and out.shape[-1] != D) else out
 
 
 def chunked_xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

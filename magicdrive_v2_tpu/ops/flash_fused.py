@@ -1,0 +1,212 @@
+"""Fused qkv-direct attention kernel (Pallas TPU).
+
+Motivation (424p device profile, docs/PERF.md): XLA's attention at this model's
+head_dim=72 spends more time on operand LAYOUT than on math — two ~6.6 ms
+transposes to reach the (B, H, D, N) logits layout per site, plus a separate
+q/k RMSNorm pass, on top of ~8.5 ms of matmuls. This kernel removes all of it:
+
+- consumes the qkv projection output directly as (G, N, 3, H, D) — no split, no
+  head transpose, no separate RMSNorm pass (the per-head fp32 RMSNorm runs on
+  the VMEM tile);
+- softmax is exact full-row (k/v for one (group, head) fit VMEM at this model's
+  sequence lengths — S=1350 at 424p, 5300 at 848p), so no online-softmax
+  accumulator is needed;
+- an optional static group permutation (`kv_perm`, via scalar prefetch) reads
+  k/v from a DIFFERENT group than q — cross-view attention's neighbor gather
+  (reference magicdrive_stdit3.py:303-332) becomes an index-map lookup instead
+  of a gather copy of the whole k/v tensor.
+
+Numerics match the XLA path exactly: fp32 RMSNorm, fp32 logits/softmax, bf16
+p@v with fp32 accumulation.
+
+The backward pass rematerializes via the XLA attention composition
+(jax.custom_vjp), like ops/flash_attention.py.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INTERPRET = os.environ.get("MDV2_PALLAS_INTERPRET", "0") == "1"
+
+DEFAULT_BLOCK_Q = 512
+_EPS = 1e-6
+
+
+def _fused_fwd_impl(qkv, q_w, k_w, kv_perm, scale, block_q, use_norm):
+    """qkv: (G, N, 3, H, D). kv_perm None | (G,) | (J, G) — 2D sums attention
+    outputs over the J k/v sources (cross-view neighbors, per-source softmax).
+    Returns (G, N, H, D)."""
+    G, N, _, H, D = qkv.shape
+    bq = min(block_q, N)
+    nq = -(-N // bq)
+    if q_w is None:
+        q_w = jnp.ones((H, D), jnp.float32)
+        k_w = jnp.ones((H, D), jnp.float32)
+    else:
+        q_w = jnp.broadcast_to(q_w.astype(jnp.float32), (H, D))
+        k_w = jnp.broadcast_to(k_w.astype(jnp.float32), (H, D))
+    if kv_perm is None:
+        kv_perm = np.arange(G, dtype=np.int32)
+    kv_perm = np.asarray(kv_perm, np.int32)
+    if kv_perm.ndim == 1:
+        kv_perm = kv_perm[None]
+    J = kv_perm.shape[0]
+    kv_perm = jnp.asarray(kv_perm)
+
+    def kernel(perm_ref, q_op, k_op, v_op, qw_ref, kw_ref, o_ref):
+        # one program = one (group, q-block, kv-source); ALL heads processed in
+        # an unrolled loop so k/v stream into VMEM once per (group, source).
+        # The output block is revisited across the innermost j axis and
+        # accumulated (per-source softmax, outputs summed — reference
+        # magicdrive_stdit3.py:303-332 semantics).
+        del perm_ref
+        j = pl.program_id(2)
+        outs = []
+        for h in range(H):
+            q = q_op[0, :, 0, h, :].astype(jnp.float32)   # (bq, D)
+            k = k_op[0, :, 0, h, :].astype(jnp.float32)   # (N, D)
+            v = v_op[0, :, 0, h, :]                       # (N, D) compute dtype
+            if use_norm:
+                qw = qw_ref[h].astype(jnp.float32)
+                kw = kw_ref[h].astype(jnp.float32)
+                q = q * jax.lax.rsqrt(
+                    jnp.mean(q * q, axis=-1, keepdims=True) + _EPS) * qw
+                k = k * jax.lax.rsqrt(
+                    jnp.mean(k * k, axis=-1, keepdims=True) + _EPS) * kw
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append((o / l).astype(o_ref.dtype))
+        # concat heads on the lane axis -> one (bq, H*D) store, which is also
+        # the (.., C) layout the output projection consumes
+        cat = jnp.concatenate(outs, axis=-1)
+        if J == 1:
+            o_ref[0] = cat
+        else:
+            @pl.when(j == 0)
+            def _init():
+                o_ref[0] = cat
+
+            @pl.when(j > 0)
+            def _acc():
+                o_ref[0] += cat
+
+    # qkv is passed three times with different BlockSpecs (same HBM buffer):
+    # q rows blocked over qi; k/v full-sequence rows, group-permuted via the
+    # scalar-prefetched kv_perm.
+    grid = (G, nq, J)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, 1, H, D),
+                             lambda g, qi, j, perm: (g, qi, 0, 0, 0)),
+                pl.BlockSpec((1, N, 1, H, D),
+                             lambda g, qi, j, perm: (perm[j, g], 0, 1, 0, 0)),
+                pl.BlockSpec((1, N, 1, H, D),
+                             lambda g, qi, j, perm: (perm[j, g], 0, 2, 0, 0)),
+                pl.BlockSpec((H, D), lambda g, qi, j, perm: (0, 0)),
+                pl.BlockSpec((H, D), lambda g, qi, j, perm: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, H * D),
+                                   lambda g, qi, j, perm: (g, qi, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, N, H * D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # working set: k/v full-sequence tiles (double-buffered) + fp32
+            # logits block; the 16 MB default scoped-vmem limit is too small
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(kv_perm, qkv, qkv, qkv, q_w, k_w)
+    return out.reshape(G, N, H, D)
+
+
+def _xla_reference(qkv, q_w, k_w, kv_perm, scale):
+    """Composition-of-XLA-ops reference; used off-TPU and as the vjp target."""
+    q = qkv[:, :, 0]
+    k = qkv[:, :, 1]
+    v = qkv[:, :, 2]
+    if q_w is not None:
+        def rms(x, w):
+            x32 = x.astype(jnp.float32)
+            x32 = x32 * jax.lax.rsqrt(
+                jnp.mean(x32 * x32, axis=-1, keepdims=True) + _EPS)
+            return (x32 * w.astype(jnp.float32)).astype(x.dtype)
+        q = rms(q, q_w)
+        k = rms(k, k_w)
+    def attend(k, v):
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhnm,bmhd->bnhd", w, v)
+
+    if kv_perm is None:
+        return attend(k, v)
+    perm = np.asarray(kv_perm)
+    if perm.ndim == 1:
+        perm = perm[None]
+    out = None
+    for j in range(perm.shape[0]):
+        o = attend(k[jnp.asarray(perm[j])], v[jnp.asarray(perm[j])])
+        out = o if out is None else out + o
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_qkv_attention(qkv: jnp.ndarray,
+                        q_norm_weight: Optional[jnp.ndarray],
+                        k_norm_weight: Optional[jnp.ndarray],
+                        kv_perm=None,
+                        scale: Optional[float] = None,
+                        block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
+    """Attention straight off the fused qkv projection.
+
+    qkv: (G, N, 3, H, D); q/k_norm_weight: (D,) per-head RMSNorm weights or
+    None (both or neither); kv_perm: static length-G int sequence, k/v are read
+    from group kv_perm[g] (cross-view neighbors) — None for self-attention.
+    Returns (G, N, H, D).
+    """
+    if scale is None:
+        scale = qkv.shape[-1] ** -0.5
+    on_tpu = INTERPRET or jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        return _xla_reference(qkv, q_norm_weight, k_norm_weight, kv_perm, scale)
+    return _fused_fwd_impl(qkv, q_norm_weight, k_norm_weight, kv_perm, scale,
+                           block_q, use_norm=q_norm_weight is not None)
+
+
+def _fwd(qkv, q_w, k_w, kv_perm, scale, block_q):
+    out = fused_qkv_attention(qkv, q_w, k_w, kv_perm, scale, block_q)
+    return out, (qkv, q_w, k_w)
+
+
+def _bwd(kv_perm, scale, block_q, res, g):
+    qkv, q_w, k_w = res
+    if scale is None:
+        scale = qkv.shape[-1] ** -0.5
+    if q_w is not None:
+        f = lambda a, b, c: _xla_reference(a, b, c, kv_perm, scale)
+        _, vjp = jax.vjp(f, qkv, q_w, k_w)
+        return vjp(g)
+    f = lambda a: _xla_reference(a, None, None, kv_perm, scale)
+    _, vjp = jax.vjp(f, qkv)
+    return vjp(g) + (None, None)
+
+
+fused_qkv_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,203 @@
+"""Perf lab: time + profile the bench step (424p 6-view CFG denoise) on one chip.
+
+Usage:
+  python tools/perf_lab.py time             # p50 of chained steps (same as bench.py)
+  python tools/perf_lab.py profile          # capture device trace -> /tmp/mdv2_trace
+  python tools/perf_lab.py report [dir]     # aggregate op durations from a trace dir
+
+The report parses the perfetto trace.json.gz that jax.profiler writes and sums device
+op durations grouped by a normalized op name, so HBM-bound fusions vs matmuls vs
+attention are directly visible. See docs/PERF.md for the running history.
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TRACE_DIR = "/tmp/mdv2_trace"
+
+
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+def build_step(chained: int = 2):
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        num_frames, height, width = 17, 424, 800
+        cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    else:
+        num_frames, height, width = 9, 64, 80
+        cfg = _flagship_config(tiny=True, dtype=jnp.float32)
+    model = MagicDriveSTDiT3(cfg)
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
+                            l_txt=60, b=1,
+                            map_size=(8, 400, 400) if on_tpu else (8, 80, 80))
+    h, w = batch.pop("height"), batch.pop("width")
+    params = _fast_init(model, {**batch, "height": h, "width": w})
+    if on_tpu:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+
+    double = lambda a: jnp.concatenate([a, a], axis=0)
+    b2 = {k: jax.tree_util.tree_map(double, v) for k, v in batch.items()
+          if k not in ("x", "timestep")}
+    params = jax.device_put(params)
+    b2 = jax.device_put(b2)
+    z_shape2 = (2 * batch["x"].shape[0],) + tuple(batch["x"].shape[1:])
+    cond_cache = jax.jit(lambda p, a: model.apply(
+        p, z_shape2, a["y"], a["maps"], a["bbox"], a["cams"], a["rel_pos"],
+        method=MagicDriveSTDiT3.encode_conditions))(params, b2)
+
+    def one_step(params, b2, cond_cache, z, t):
+        pred = model.apply(params, double(z), double(t), **b2, height=h, width=w,
+                           cond_cache=cond_cache)
+        cond, uncond = jnp.split(pred, 2, axis=0)
+        v = uncond + 2.0 * (cond - uncond)
+        return z + v.astype(z.dtype) * (1.0 / 30)
+
+    @jax.jit
+    def run_chain(params, b2, cond_cache, z, t):
+        return jax.lax.fori_loop(
+            0, chained, lambda i, z: one_step(params, b2, cond_cache, z, t), z)
+
+    args = (params, b2, cond_cache, batch["x"], batch["timestep"])
+    return run_chain, args, chained
+
+
+def cmd_time():
+    run_chain, args, chained = build_step(chained=4)
+    out = run_chain(*args)
+    _ = np.asarray(out[0, 0, 0, 0, :2])
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = run_chain(*args)
+        _ = np.asarray(out[0, 0, 0, 0, :2])
+        times.append((time.perf_counter() - t0) / chained)
+    print(f"p50 step: {float(np.median(times)):.4f}s  (all: "
+          + " ".join(f"{t:.3f}" for t in times) + ")")
+
+
+def cmd_profile():
+    import jax
+    run_chain, args, chained = build_step(chained=1)
+    out = run_chain(*args)  # compile outside the trace
+    _ = np.asarray(out[0, 0, 0, 0, :2])
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR):
+        out = run_chain(*args)
+        _ = np.asarray(out[0, 0, 0, 0, :2])
+    print("trace written to", TRACE_DIR)
+    cmd_report(TRACE_DIR)
+
+
+_NORM = [
+    (re.compile(r"^fusion(\.\d+)?$"), "fusion"),
+    (re.compile(r"^loop_"), "loop_fusion"),
+]
+
+
+def _load_events(trace_dir):
+    files = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                             recursive=True))
+    if not files:
+        raise SystemExit(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    return data.get("traceEvents", [])
+
+
+def cmd_report(trace_dir=TRACE_DIR, top=40):
+    events = _load_events(trace_dir)
+    # device op events: pid/tid mapped to TPU core lanes; keep complete events w/ dur
+    by_name = collections.Counter()
+    counts = collections.Counter()
+    total = 0.0
+    # find pids whose process_name mentions TPU / device
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        args = e.get("args") or {}
+        # prefer the hlo op name/category when present
+        key = args.get("hlo_category") or name
+        dur = e["dur"] / 1e3  # us -> ms
+        by_name[key] += dur
+        counts[key] += 1
+        total += dur
+    print(f"device pids: {sorted(dev_pids)} ({ {p: pid_names.get(p) for p in dev_pids} })")
+    print(f"total device op time: {total:.1f} ms")
+    for name, dur in by_name.most_common(top):
+        print(f"{dur:9.2f} ms  x{counts[name]:<5d} {name[:110]}")
+
+
+def cmd_report_ops(trace_dir=TRACE_DIR, top=60):
+    """Group by individual hlo op name (finer than category)."""
+    events = _load_events(trace_dir)
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    by_name = collections.Counter()
+    counts = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        # strip trailing .N indices so repeated fusions group
+        key = re.sub(r"\.\d+$", "", name)
+        by_name[key] += e["dur"] / 1e3
+        counts[key] += 1
+    for name, dur in by_name.most_common(top):
+        print(f"{dur:9.2f} ms  x{counts[name]:<5d} {name[:120]}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
+    if cmd == "time":
+        cmd_time()
+    elif cmd == "profile":
+        cmd_profile()
+    elif cmd == "report":
+        cmd_report(sys.argv[2] if len(sys.argv) > 2 else TRACE_DIR)
+    elif cmd == "ops":
+        cmd_report_ops(sys.argv[2] if len(sys.argv) > 2 else TRACE_DIR)
+    else:
+        raise SystemExit(f"unknown cmd {cmd}")
