@@ -7,9 +7,12 @@ no software tests; we unit-test pure functions against formulas and validate sha
 import os
 import sys
 
-# Force CPU: the environment pins JAX_PLATFORMS=axon (one tunneled TPU chip); tests must
-# run on the 8-device virtual CPU mesh, so override rather than setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU: the environment pins JAX_PLATFORMS=axon (one tunneled TPU chip) via a
+# sitecustomize on PYTHONPATH that imports jax at interpreter start — so setting
+# os.environ["JAX_PLATFORMS"] here is too late (the plugin is already registered
+# and the env var was read at import; every dispatch would cross the TPU relay at
+# ~32 ms/op). jax.config.update works as long as no backend has initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses spawned by tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -19,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend())
+assert len(jax.devices()) >= 8, jax.devices()
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402

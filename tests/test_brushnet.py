@@ -50,6 +50,7 @@ def test_shallow_encoder_shapes(rng):
     assert out.shape == (2, 16, 3, 4, 5)
 
 
+@pytest.mark.heavy
 def test_brushnet_forward(rng):
     cfg = _brush_cfg(sde=False)
     model = MagicDriveSTDiT3BrushNet(cfg)
@@ -67,6 +68,7 @@ def test_brushnet_forward(rng):
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.heavy
 def test_sde_brushnet_forward_and_t_inpaint_sensitivity(rng):
     cfg = _brush_cfg(sde=True)
     model = MagicDriveSTDiT3BrushNet(cfg)
@@ -190,6 +192,7 @@ def test_repaint_sampler_pins_known_region():
 
 
 @pytest.mark.parametrize("sde", [False, True])
+@pytest.mark.heavy
 def test_brushnet_train_step(sde, rng):
     import optax
     from magicdrive_v2_tpu.models.magicdrive.brushnet import MagicDriveSTDiT3BrushNet

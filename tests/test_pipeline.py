@@ -83,6 +83,7 @@ def _cond_batch(cfg, num_frames=9, h=32, w=40):
     return batch
 
 
+@pytest.mark.heavy
 def test_end_to_end_sampling(pipe):
     batch = _cond_batch(Config(TINY_CFG))
     vids = pipe.sample(batch, num_frames=9, height=32, width=40,

@@ -89,6 +89,7 @@ def test_forward_shape_and_dtype(model_and_params):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.heavy
 def test_zero_init_gives_base_only_behavior(model_and_params):
     """With zero-init control/mva/temporal projections, the control branch and
     cross-view/temporal additions start as no-ops: changing the map must not change the
@@ -101,6 +102,7 @@ def test_zero_init_gives_base_only_behavior(model_and_params):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_x_mask_path(model_and_params):
     model, params, inputs = model_and_params
     T_lat = inputs["x"].shape[2]
@@ -113,6 +115,7 @@ def test_x_mask_path(model_and_params):
     np.testing.assert_allclose(np.asarray(out_all), np.asarray(out_none), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_single_frame_image_mode():
     cfg = tiny_config()
     model = MagicDriveSTDiT3(cfg)
@@ -122,6 +125,7 @@ def test_single_frame_image_mode():
     assert out.shape == inputs["x"].shape
 
 
+@pytest.mark.heavy
 def test_h_pad_for_sp():
     # force_pad_h_for_sp_size pads H so S % sp == 0 and output is still unpadded
     cfg = tiny_config(force_pad_h_for_sp_size=8)
@@ -146,6 +150,7 @@ def test_drop_cond_mask_nulls_conditions(model_and_params):
                                atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_sequence_parallel_matches_single_device():
     """SURVEY.md §4(b): the Ulysses-equivalence contract — the model under a
     (dp=1, sp=4) mesh with GSPMD sequence sharding must reproduce the unsharded
@@ -230,6 +235,7 @@ def test_sp_actually_partitions_sequence():
     assert hlo.count("all-to-all") > 0, "no Ulysses all-to-all in compiled program"
 
 
+@pytest.mark.heavy
 def test_sp_h_padding_path_matches_unsharded():
     """Grid-effect trap (reference doc/FAQ.md:169-185, magicdrive_stdit3.py:1090-1115):
     when S is NOT divisible by sp, H gets padded. The sharded run must equal an

@@ -32,6 +32,7 @@ def _setup(grad_checkpoint=True):
     return cfg, model, params, batch
 
 
+@pytest.mark.heavy
 def test_train_step_decreases_loss_and_updates():
     cfg, model, params, batch = _setup()
     scheduler = RFLOW(num_timesteps=1000)
@@ -46,6 +47,7 @@ def test_train_step_decreases_loss_and_updates():
     assert not np.allclose(p0, p1)
 
 
+@pytest.mark.heavy
 def test_buffers_not_trained():
     cfg, model, params, batch = _setup(grad_checkpoint=False)
     scheduler = RFLOW(num_timesteps=1000)

@@ -96,6 +96,7 @@ def test_diagonal_gaussian():
     np.testing.assert_allclose(np.asarray(s), 3.0, atol=1e-3)  # tiny std
 
 
+@pytest.mark.heavy
 def test_tiled_decode_matches_full(rng):
     vae = tiny_vae()
     vae.init(jax.random.PRNGKey(0), (1, 3, 1, 16, 16))
