@@ -115,3 +115,71 @@ def project_corners(corners: np.ndarray, trans: np.ndarray,
         coords[:, 1] /= z
         coords[:, 2] /= np.abs(coords[:, 2])
     return coords[:, :3].reshape(n, 8, 3).astype(np.float32)
+
+
+def rasterize_mesh(verts: np.ndarray, faces: np.ndarray,
+                   colors: Optional[np.ndarray], h: int, w: int,
+                   z_near: float = 1e-4):
+    """Z-buffered vertex-color triangle rasterization.
+
+    verts: (V, 3) screen-space x, y + camera-space depth z (>0 in front);
+    faces: (F, 3) int; colors: (V, 3) float or None (depth/mask only).
+    Returns (rgb (h, w, 3) f32, depth (h, w) f32 +inf where empty,
+    face_id (h, w) i32, -1 where empty). Screen-space barycentric interpolation
+    (the reference's pytorch3d MeshRasterizer defaults for TexturesVertex,
+    pedestrian_processor.py:508-647).
+    """
+    verts = np.ascontiguousarray(np.asarray(verts, np.float32))
+    faces = np.ascontiguousarray(np.asarray(faces, np.int32))
+    rgb = np.zeros((h, w, 3), np.float32)
+    depth = np.full((h, w), np.inf, np.float32)
+    face_id = np.full((h, w), -1, np.int32)
+    if faces.shape[0] == 0:
+        return rgb, depth, face_id
+    lib = _load()
+    if lib is not None:
+        if not hasattr(lib.mdv2_rasterize_mesh, "_typed"):
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            c = ctypes.c_int
+            lib.mdv2_rasterize_mesh.argtypes = [
+                f32p, c, i32p, c, ctypes.c_void_p, c, c, ctypes.c_float,
+                f32p, f32p, i32p]
+            lib.mdv2_rasterize_mesh._typed = True
+        col_ptr = None
+        if colors is not None:
+            colors = np.ascontiguousarray(np.asarray(colors, np.float32))
+            col_ptr = colors.ctypes.data_as(ctypes.c_void_p)
+        lib.mdv2_rasterize_mesh(verts, verts.shape[0], faces, faces.shape[0],
+                                col_ptr, h, w, z_near, rgb, depth, face_id)
+        return rgb, depth, face_id
+    # numpy fallback: per-face barycentric fill over the face's bounding box
+    for f, tri in enumerate(faces):
+        a, b, c3 = verts[tri[0]], verts[tri[1]], verts[tri[2]]
+        if a[2] <= z_near or b[2] <= z_near or c3[2] <= z_near:
+            continue
+        x0 = max(0, int(np.floor(min(a[0], b[0], c3[0]))))
+        x1 = min(w - 1, int(np.ceil(max(a[0], b[0], c3[0]))))
+        y0 = max(0, int(np.floor(min(a[1], b[1], c3[1]))))
+        y1 = min(h - 1, int(np.ceil(max(a[1], b[1], c3[1]))))
+        if x0 > x1 or y0 > y1:
+            continue
+        det = (b[0] - a[0]) * (c3[1] - a[1]) - (b[1] - a[1]) * (c3[0] - a[0])
+        if abs(det) < 1e-12:
+            continue
+        ys, xs = np.mgrid[y0:y1 + 1, x0:x1 + 1]
+        px, py = xs + 0.5, ys + 0.5
+        w1 = ((px - a[0]) * (c3[1] - a[1]) - (py - a[1]) * (c3[0] - a[0])) / det
+        w2 = ((b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])) / det
+        w0 = 1.0 - w1 - w2
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        z = w0 * a[2] + w1 * b[2] + w2 * c3[2]
+        closer = inside & (z < depth[y0:y1 + 1, x0:x1 + 1])
+        sub = depth[y0:y1 + 1, x0:x1 + 1]
+        sub[closer] = z[closer].astype(np.float32)
+        face_id[y0:y1 + 1, x0:x1 + 1][closer] = f
+        if colors is not None:
+            ca, cb, cc = colors[tri[0]], colors[tri[1]], colors[tri[2]]
+            col = (w0[..., None] * ca + w1[..., None] * cb + w2[..., None] * cc)
+            rgb[y0:y1 + 1, x0:x1 + 1][closer] = col[closer].astype(np.float32)
+    return rgb, depth, face_id

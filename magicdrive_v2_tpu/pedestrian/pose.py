@@ -144,7 +144,13 @@ class PoseProcessor:
         def smooth(x, window):
             if window <= 1 or total_frames < 3:
                 return x
-            window = min(window if window % 2 else window + 1, total_frames)
+            # clamp to the sequence length, then force ODD (an even window
+            # makes the edge-padded 'valid' convolution one element too long)
+            window = min(window, total_frames)
+            if window % 2 == 0:
+                window -= 1
+            if window < 3:
+                return x
             pad = window // 2
             xp = np.pad(x, ((pad, pad), (0, 0)), mode="edge")
             kernel = np.ones(window) / window

@@ -169,4 +169,63 @@ void mdv2_raster_aux(float* aux, int h, int w, int use_vis, int use_off,
     }
 }
 
+// Z-buffered triangle-mesh rasterizer with per-vertex color interpolation
+// (screen-space barycentric, no perspective correction — matches pytorch3d's
+// MeshRasterizer defaults for TexturesVertex as used by the reference
+// pedestrian_processor.py:508-647). verts: (V, 3) screen-space x, y, z(depth,
+// camera-space, >0 visible); faces: (F, 3) int32; colors: (V, 3) float32 or
+// NULL (depth/mask only). Outputs: rgb (h, w, 3) float32 (unchanged where no
+// coverage), depth (h, w) float32 (caller initialises to +inf), face_id (h, w)
+// int32 (-1 where empty). Faces with any vertex at z <= z_near are skipped.
+void mdv2_rasterize_mesh(const float* verts, int n_verts,
+                         const int32_t* faces, int n_faces,
+                         const float* colors, int h, int w,
+                         float z_near,
+                         float* rgb, float* depth, int32_t* face_id) {
+    (void)n_verts;
+    for (int f = 0; f < n_faces; ++f) {
+        const int32_t* tri = faces + f * 3;
+        const float* a = verts + tri[0] * 3;
+        const float* b = verts + tri[1] * 3;
+        const float* c = verts + tri[2] * 3;
+        if (a[2] <= z_near || b[2] <= z_near || c[2] <= z_near) continue;
+        float xmin = std::min({a[0], b[0], c[0]});
+        float xmax = std::max({a[0], b[0], c[0]});
+        float ymin = std::min({a[1], b[1], c[1]});
+        float ymax = std::max({a[1], b[1], c[1]});
+        int x0 = std::max(0, (int)std::floor(xmin));
+        int x1 = std::min(w - 1, (int)std::ceil(xmax));
+        int y0 = std::max(0, (int)std::floor(ymin));
+        int y1 = std::min(h - 1, (int)std::ceil(ymax));
+        if (x0 > x1 || y0 > y1) continue;
+        double det = (double)(b[0] - a[0]) * (c[1] - a[1]) -
+                     (double)(b[1] - a[1]) * (c[0] - a[0]);
+        if (std::fabs(det) < 1e-12) continue;
+        for (int y = y0; y <= y1; ++y) {
+            for (int x = x0; x <= x1; ++x) {
+                double px = x + 0.5, py = y + 0.5;
+                double w1 = ((px - a[0]) * (c[1] - a[1]) -
+                             (py - a[1]) * (c[0] - a[0])) / det;
+                double w2 = ((b[0] - a[0]) * (py - a[1]) -
+                             (b[1] - a[1]) * (px - a[0])) / det;
+                double w0 = 1.0 - w1 - w2;
+                if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+                float z = (float)(w0 * a[2] + w1 * b[2] + w2 * c[2]);
+                size_t px_i = (size_t)y * w + x;
+                if (z >= depth[px_i]) continue;
+                depth[px_i] = z;
+                face_id[px_i] = f;
+                if (colors) {
+                    const float* ca = colors + tri[0] * 3;
+                    const float* cb = colors + tri[1] * 3;
+                    const float* cc = colors + tri[2] * 3;
+                    for (int ch = 0; ch < 3; ++ch)
+                        rgb[px_i * 3 + ch] = (float)(w0 * ca[ch] + w1 * cb[ch] +
+                                                     w2 * cc[ch]);
+                }
+            }
+        }
+    }
+}
+
 }  // extern "C"
