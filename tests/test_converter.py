@@ -1,0 +1,224 @@
+"""Schema-golden tests for the 12Hz nuScenes converter
+(tools/prepare_data/nuscenes_converter.py) against a stub devkit.
+
+The real devkit/dataset aren't in this image; the stub implements the table
+accessors the converter touches, so interpolation values, sweep alignment,
+token naming, and the emitted schema are asserted hermetically (VERDICT r1
+item 9; reference tools/prepare_data/data_converter/nuscenes_converter.py).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "tools", "prepare_data"))
+
+import nuscenes_converter as nc
+
+
+class StubNusc:
+    def __init__(self, with_sweeps=True, n_keyframes=2):
+        self.tables = {k: {} for k in
+                       ("log", "scene", "sample", "sample_data",
+                        "calibrated_sensor", "ego_pose", "sample_annotation")}
+        self.scene = []
+        self._build(with_sweeps, n_keyframes)
+
+    def get(self, table, token):
+        return self.tables[table][token]
+
+    def _add(self, table, token, **kw):
+        self.tables[table][token] = dict(token=token, **kw)
+        return self.tables[table][token]
+
+    def _build(self, with_sweeps, n_kf):
+        self._add("log", "log0", location="boston-seaport",
+                  logfile="n008-2018-08-01-15-16-36-0400")
+        qi = [1.0, 0, 0, 0]
+        self._add("calibrated_sensor", "cs_lidar", rotation=qi,
+                  translation=[0.9, 0.0, 1.8], camera_intrinsic=[])
+        K = [[1266.0, 0.0, 816.0], [0.0, 1266.0, 491.0], [0.0, 0.0, 1.0]]
+        for c in nc.CAM_NAMES:
+            self._add("calibrated_sensor", f"cs_{c}", rotation=qi,
+                      translation=[1.5, 0.2, 1.5], camera_intrinsic=K)
+
+        t0 = 1_000_000_000
+        dt_kf = 500_000  # 2 Hz keyframes
+        kf_tokens = []
+        for ki in range(n_kf):
+            ts = t0 + ki * dt_kf
+            # ego moves +x at 2 m/s with a slow yaw drift
+            yaw = 0.2 * ki
+            pose = self._add(
+                "ego_pose", f"pose_kf{ki}",
+                rotation=[np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)],
+                translation=[1.0 * ki, 0.0, 0.0], timestamp=ts)
+            data = {}
+            self._add("sample_data", f"lidar{ki}", filename=f"lidar{ki}.bin",
+                      calibrated_sensor_token="cs_lidar",
+                      ego_pose_token=pose["token"], is_key_frame=True,
+                      timestamp=ts, prev="", next="", channel="LIDAR_TOP")
+            data["LIDAR_TOP"] = f"lidar{ki}"
+            for c in nc.CAM_NAMES:
+                self._add("sample_data", f"{c}_kf{ki}",
+                          filename=f"{c}_kf{ki}.jpg",
+                          calibrated_sensor_token=f"cs_{c}",
+                          ego_pose_token=pose["token"], is_key_frame=True,
+                          timestamp=ts, prev="", next="", channel=c)
+                data[c] = f"{c}_kf{ki}"
+            kf_tokens.append((f"sample{ki}", ts, data))
+
+        # camera sweeps between kf0 and kf1, chained backward from kf1
+        if with_sweeps and n_kf >= 2:
+            for c in nc.CAM_NAMES:
+                prev = f"{c}_kf0"
+                for si in range(1, 6):
+                    ts = t0 + si * dt_kf // 6
+                    frac = si / 6.0
+                    pose = self._add(
+                        "ego_pose", f"pose_{c}_sw{si}",
+                        rotation=nc.quat_slerp([1, 0, 0, 0],
+                                               [np.cos(0.1), 0, 0, np.sin(0.1)],
+                                               frac),
+                        translation=[frac, 0.0, 0.0], timestamp=ts)
+                    self._add("sample_data", f"{c}_sw{si}",
+                              filename=f"{c}_sw{si}.jpg",
+                              calibrated_sensor_token=f"cs_{c}",
+                              ego_pose_token=pose["token"], is_key_frame=False,
+                              timestamp=ts, prev=prev, next="", channel=c)
+                    prev = f"{c}_sw{si}"
+                # keyframe cam of kf1 points back at the last sweep
+                self.tables["sample_data"][f"{c}_kf1"]["prev"] = f"{c}_sw5"
+
+        # annotations: one car moving +x, one pedestrian static
+        anns = []
+        for ki in range(n_kf):
+            for name, cat, x in [("car", "vehicle.car", 10.0 + 2.0 * ki),
+                                 ("ped", "human.pedestrian.adult", 5.0)]:
+                tok = f"ann_{name}_{ki}"
+                self._add("sample_annotation", tok,
+                          category_name=cat,
+                          translation=[x, 2.0, 1.0], size=[2.0, 4.5, 1.6],
+                          rotation=[1.0, 0, 0, 0], instance_token=f"inst_{name}",
+                          num_lidar_pts=12, num_radar_pts=3,
+                          visibility_token="4", velocity=[2.0 * (name == "car"), 0.0])
+                anns.append((ki, tok))
+
+        for ki, (stok, ts, data) in enumerate(kf_tokens):
+            self._add("sample", stok, timestamp=ts, data=data,
+                      anns=[t for k, t in anns if k == ki],
+                      scene_token="scene0",
+                      next=kf_tokens[ki + 1][0] if ki + 1 < n_kf else "",
+                      prev=kf_tokens[ki - 1][0] if ki else "")
+        sc = self._add("scene", "scene0", log_token="log0",
+                       name="scene-0001", description="sunny day",
+                       first_sample_token="sample0")
+        self.scene = [sc]
+
+
+@pytest.fixture(scope="module")
+def infos():
+    nusc = StubNusc(with_sweeps=True)
+    return nc.build_infos(version="v1.0-trainval", nusc=nusc)
+
+
+def test_counts_and_token_naming(infos):
+    tr = infos["train"]
+    # kf0 + 5 interpolated + kf1
+    assert len(tr["infos"]) == 7
+    toks = [i["token"] for i in tr["infos"]]
+    assert toks[0] == "sample0"
+    # reference naming: interpolated frames associate with the NEXT keyframe,
+    # counted backward (nuscenes_converter.py:501-506)
+    assert toks[1:6] == [f"sample1;-{n}" for n in (5, 4, 3, 2, 1)]
+    assert toks[6] == "sample1"
+    assert tr["scene_tokens"] == [toks]
+    assert [i["is_key_frame"] for i in tr["infos"]] == [
+        True, False, False, False, False, False, True]
+
+
+def test_schema_fields(infos):
+    info = infos["train"]["infos"][0]
+    for key in ("token", "timestamp", "location", "description", "timeofday",
+                "is_key_frame", "lidar2ego_rotation", "lidar2ego_translation",
+                "ego2global_rotation", "ego2global_translation", "cams",
+                "gt_boxes", "gt_names", "gt_box_ids", "gt_velocity",
+                "num_lidar_pts", "num_radar_pts", "visibility", "valid_flag",
+                "ego_velocity"):
+        assert key in info, key
+    assert info["gt_boxes"].shape == (2, 9)
+    assert set(info["cams"]) == set(nc.CAM_NAMES)
+    cam = info["cams"]["CAM_FRONT"]
+    for key in ("data_path", "camera_intrinsics", "sensor2lidar_rotation",
+                "sensor2lidar_translation", "sensor2ego_rotation",
+                "sensor2ego_translation"):
+        assert key in cam, key
+    assert info["timeofday"].startswith("2018-08-01")
+
+
+def test_sweep_images_and_pose(infos):
+    """Interpolated frames use the real camera sweeps and the CAM_FRONT
+    sweep's ego pose (reference :491-509)."""
+    mids = infos["train"]["infos"][1:6]
+    paths = [i["cams"]["CAM_FRONT"]["data_path"] for i in mids]
+    assert all("sw" in p for p in paths), paths
+    assert len(set(paths)) == 5  # distinct sweeps, forward in time
+    assert paths == sorted(paths)
+    # frame ego pose == that sweep's pose record (translation = si/6)
+    for i in mids:
+        sw = i["cams"]["CAM_FRONT"]["data_path"]  # e.g. CAM_FRONT_sw3.jpg
+        si = int(sw.split("_sw")[1][0])
+        np.testing.assert_allclose(i["ego2global_translation"],
+                                   [si / 6.0, 0, 0], atol=1e-9)
+
+
+def test_box_interpolation_values(infos):
+    """Car moves 10 -> 12 in x over the keyframe gap; interpolated gt follows
+    linearly in the LIDAR frame (ego also moves, so lidar-frame x interpolates
+    between (10 - 0 - 0.9) and (12 - 1 - 0.9) ... via the frame's own pose)."""
+    tr = infos["train"]["infos"]
+    ids0 = tr[0]["gt_box_ids"]
+    car0 = tr[0]["gt_boxes"][ids0.index("inst_car")]
+    ids6 = tr[6]["gt_box_ids"]
+    car6 = tr[6]["gt_boxes"][ids6.index("inst_car")]
+    mid = tr[3]["gt_boxes"][tr[3]["gt_box_ids"].index("inst_car")]
+    np.testing.assert_allclose(mid, (car0 + car6) / 2, atol=1e-6)
+    # sizes identical; z_bottom = (z_global - lidar_height) - h/2
+    assert abs(car0[5] - 1.6) < 1e-9 and abs(car0[2] - (1.0 - 1.8 - 0.8)) < 1e-9
+    # velocity survives into the schema
+    v = tr[0]["gt_velocity"][ids0.index("inst_car")]
+    np.testing.assert_allclose(v, [2.0, 0.0], atol=1e-9)
+
+
+def test_fallback_without_sweeps():
+    nusc = StubNusc(with_sweeps=False)
+    out = nc.build_infos(version="v1.0-trainval", nusc=nusc)
+    mids = out["train"]["infos"][1:6]
+    # keyframe images reused; ego pose SLERP/linear between keyframes
+    assert all("kf0" in i["cams"]["CAM_FRONT"]["data_path"] for i in mids)
+    np.testing.assert_allclose(mids[2]["ego2global_translation"],
+                               [0.5, 0, 0], atol=1e-9)
+    # slerp of yaw 0 -> 0.2 at t=0.5 is yaw 0.1
+    q = mids[2]["ego2global_rotation"]
+    yaw = 2 * np.arctan2(q[3], q[0])
+    assert abs(yaw - 0.1) < 1e-6
+
+
+def test_test_split_has_no_annotations():
+    nusc = StubNusc(with_sweeps=True)
+    out = nc.build_infos(version="v1.0-test", nusc=nusc)
+    assert "test" in out
+    for i in out["test"]["infos"]:
+        assert i["gt_boxes"].shape == (0, 9)
+        assert len(i["gt_box_ids"]) == 0
+
+
+def test_dataset_consumes_converted_schema(tmp_path):
+    """The datasets layer parses the converter's output (frame_from_info)."""
+    from magicdrive_v2_tpu.datasets.nuscenes import frame_from_info
+    nusc = StubNusc(with_sweeps=True)
+    out = nc.build_infos(version="v1.0-trainval", nusc=nusc)
+    frame = frame_from_info(out["train"]["infos"][2])
+    assert "cams" in frame or frame is not None
