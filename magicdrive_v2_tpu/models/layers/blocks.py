@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from ...ops.attention import dot_product_attention
 from ...ops.flash_fused import fused_qkv_attention
-from ...ops.rope import apply_rope
+from ...ops.rope import apply_rope, rope_frequencies, rotate_half_interleaved
 from ...parallel.sharding import SP_AXIS, get_current_mesh, shard_hint
 
 Dtype = Any
@@ -279,8 +279,37 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, N, C = x.shape
         H, D = self.num_heads, self.dim // self.num_heads
+        if x.ndim == 4 and self.use_rope:
+            # Temporal attention in (B, T, S, C) token layout: T is tiny (<=9
+            # latent frames) while S is lane-sized, so attention runs as
+            # einsums batched over (B, S, H) with S kept on the minor axis —
+            # no (B*S, T, C) transpose materialization, and the softmax
+            # reduces over a non-minor axis instead of XLA's pathologically
+            # (8,128)-padded (T, T) tiles (~4.6 ms/site at 424p, docs/PERF.md).
+            # Under SP the S axis stays sequence-sharded: the attention is
+            # batched over S, so no collective is needed at all.
+            B, T, S, C = x.shape
+            qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                           kernel_init=xavier_uniform, name="qkv")(x)
+            qkv = qkv.reshape(B, T, S, 3, H, D)
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            if self.qk_norm:
+                q = _rms_apply(q, _NormWeight(D, name="q_norm")())
+                k = _rms_apply(k, _NormWeight(D, name="k_norm")())
+            ang = rope_frequencies(D, T)
+            cos = jnp.cos(ang).astype(q.dtype)[None, :, None, None, :]
+            sin = jnp.sin(ang).astype(q.dtype)[None, :, None, None, :]
+            q = q * cos + rotate_half_interleaved(q) * sin
+            k = k * cos + rotate_half_interleaved(k) * sin
+            q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
+            logits = jnp.einsum("btshd,bushd->bhtus", q, k,
+                                preferred_element_type=jnp.float32) * D ** -0.5
+            w = jax.nn.softmax(logits, axis=3).astype(v.dtype)
+            out = jnp.einsum("bhtus,bushd->btshd", w, v).reshape(B, T, S, C)
+            return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init,
+                            name="proj")(out)
+        B, N, C = x.shape
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=xavier_uniform, name="qkv")(x)
         qw = kw = None

@@ -215,9 +215,13 @@ class MVSTDiTBlock(nn.Module):
                              qk_norm=self.qk_norm, use_rope=self.temporal,
                              dtype=self.dtype, proj_init=proj_init, name="attn")
         if self.temporal:
-            xt = x_m.transpose(0, 2, 1, 3).reshape(B * S, T, C)
-            xt = attn(xt)
-            x_m = xt.reshape(B, S, T, C).transpose(0, 2, 1, 3)
+            import os as _os
+            if _os.environ.get("MDV2_TEMPORAL_ATTN") == "legacy":
+                xt = attn(x_m.transpose(0, 2, 1, 3).reshape(B * S, T, C))
+                x_m = xt.reshape(B, S, T, C).transpose(0, 2, 1, 3)
+            else:
+                # (B, T, S, C) einsum layout: no transposes, batched over S
+                x_m = attn(x_m)
         else:
             xs = attn(x_m.reshape(B * T, S, C))
             x_m = xs.reshape(B, T, S, C)

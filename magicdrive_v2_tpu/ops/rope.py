@@ -24,7 +24,7 @@ def rope_frequencies(dim: int, n: int, theta: float = 10000.0,
     return jnp.repeat(angles, 2, axis=-1)  # (n, dim)
 
 
-def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+def rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
     out = jnp.stack([-x2, x1], axis=-1)
@@ -38,4 +38,4 @@ def apply_rope(x: jnp.ndarray, positions: Optional[jnp.ndarray] = None,
     angles = rope_frequencies(d, n, theta, positions)
     cos = jnp.cos(angles).astype(x.dtype)
     sin = jnp.sin(angles).astype(x.dtype)
-    return x * cos + _rotate_half_interleaved(x) * sin
+    return x * cos + rotate_half_interleaved(x) * sin

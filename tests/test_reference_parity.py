@@ -375,3 +375,89 @@ def test_full_block_parity_spatial(ref):
     finally:
         jax.config.update("jax_enable_x64", False)
     assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()  # fp32 norm islands bound precision
+
+
+@pytest.mark.heavy
+def test_full_model_conversion_parity(ref):
+    """Whole-model conversion proof at FULL depth (28 blocks / 13 control):
+    random-init the torch MagicDriveSTDiT3 at reduced width/spatial dims,
+    convert the complete state dict through convert_torch_state_dict, and
+    assert forward parity in float64 — this exercises the scan-stacking of all
+    three block lists and the shared-qkv slicing at real depth (VERDICT r1
+    item 7; reference ckpt_utils.py:33-64)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.config.presets import xl2_model
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import (MagicDriveSTDiT3,
+                                                            build_model_config)
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+    from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict
+
+    C, H = 64, 4
+    mv_order = {0: [1, 2], 1: [2, 0], 2: [0, 1]}
+    tiny = dict(depth=28, control_depth=13, hidden_size=C, num_heads=H,
+                in_channels=4, caption_channels=32, model_max_length=16,
+                input_sq_size=512)
+    model_dict = xl2_model(control_skip_temporal=False)
+    model_dict.pop("type")
+    model_dict.pop("from_pretrained", None)
+    model_dict["bbox_embedder_param"].update(
+        class_token_dim=C, proj_dims=[C, 32, 32, C], num_heads=H)
+    model_dict["frame_emb_param"].update(num_heads=H)
+    model_dict["map_embedder_param"].update(block_out_channels=[8, 16, 24, 32],
+                                            conditioning_size=[8, 64, 64])
+    model_dict.update(tiny)
+
+    torch.manual_seed(11)
+    ref_dict = dict(model_dict)
+    for k in ("cam_encoder_cls", "bbox_embedder_cls", "map_embedder_cls",
+              "frame_emb_cls"):  # reference resolves dotted class paths
+        ref_dict[k] = "magicdrivedit.models.magicdrive.embedder." + ref_dict[k]
+    ref_cfg = ref.stdit3.MagicDriveSTDiT3Config(
+        enable_flash_attn=False, enable_xformers=False,
+        enable_layernorm_kernel=False, **ref_dict)
+    ref_model = ref.stdit3.MagicDriveSTDiT3(ref_cfg).eval().double()
+
+    cfg = build_model_config(dict(model_dict), vae_out_channels=4,
+                             mv_order_map=mv_order, dtype=jnp.float64)
+    ours = MagicDriveSTDiT3(cfg)
+
+    num_frames, height, width = 5, 32, 48
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height,
+                            width=width, l_box=4, l_txt=16, caption_channels=32,
+                            b=1, map_size=(8, 64, 64))
+    hf, wf = batch.pop("height"), batch.pop("width")
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        b64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, batch)
+        params = ours.init(jax.random.PRNGKey(0), **b64, height=hf, width=wf)
+        sd = {k: v.detach().double().numpy()
+              for k, v in ref_model.state_dict().items()}
+        params = convert_torch_state_dict(sd, params, strict=True)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a),
+            params)
+        got = np.asarray(ours.apply(params, **b64, height=hf, width=wf))
+
+        def tt(a):
+            a = np.asarray(a)
+            return torch.tensor(a.astype(np.float64) if a.dtype.kind == "f" else a)
+
+        tb = {k: (jax.tree_util.tree_map(tt, v) if isinstance(v, dict) else tt(v))
+              for k, v in batch.items()}
+        with torch.no_grad():
+            want = ref_model(tb["x"], tb["timestep"], tb["y"], tb["maps"],
+                             tb["bbox"], tb["cams"], tb["rel_pos"], tb["fps"],
+                             height=torch.tensor([hf], dtype=torch.float64),
+                             width=torch.tensor([wf], dtype=torch.float64),
+                             mv_order_map=mv_order).numpy()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    err = np.abs(got - want).max()
+    assert err < 1e-4, err
