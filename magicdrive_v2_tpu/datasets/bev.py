@@ -174,15 +174,60 @@ class LoadBEVSegmentation:
             return None
         return one_hot_decode(packed, len(self.classes))
 
+    # class name -> devkit map layers (reference loading.py:545-552)
+    _LAYER_MAPPINGS = {
+        "drivable_area*": ["road_segment", "lane"],
+        "divider": ["road_divider", "lane_divider"],
+    }
+
+    def _map_api_for(self, location: str):
+        """NuScenesMap handle per location; tests may pre-populate self._maps
+        with any object exposing get_map_mask(patch_box, patch_angle,
+        layer_names, canvas_size)."""
+        if self._maps is None:
+            self._maps = {}
+        if location not in self._maps:
+            from nuscenes.map_expansion.map_api import NuScenesMap
+            self._maps[location] = NuScenesMap(self.dataset_root, location)
+        return self._maps[location]
+
     def _static_live(self, data: dict) -> np.ndarray:
-        """Rasterize static layers with the nuScenes devkit, if importable."""
+        """In-pipeline static-layer rasterization via the devkit's map API
+        (reference LoadBEVSegmentation._get_data, loading.py:526-588): cut the
+        ego-centred rotated patch with get_map_mask, transpose to the canvas
+        convention, and merge the composite classes (drivable_area*, divider).
+        Falls back to zeros when neither devkit nor an injected map handle is
+        available (the offline h5 cache path, tools/prepare_map_aux, is then
+        the supported source)."""
+        zeros = np.zeros((len(self.classes), *self.canvas_size), np.uint8)
+        location = data.get("location")
+        if location is None:
+            return zeros
         try:
-            from nuscenes.map_expansion.map_api import NuScenesMap  # noqa: F401
-        except ImportError:
-            return np.zeros((len(self.classes), *self.canvas_size), np.uint8)
-        raise NotImplementedError(
-            "live NuScenesMap rasterization requires map expansion assets; "
-            "use the h5 cache (tools/prepare_map_aux)")
+            map_api = self._map_api_for(location)
+        except Exception:
+            return zeros
+
+        lidar2global = np.asarray(data["ego2global"]) @ np.asarray(
+            data["lidar2ego"])
+        map_pose = lidar2global[:2, 3]
+        patch_box = (map_pose[0], map_pose[1],
+                     self.patch_size[0], self.patch_size[1])
+        v = lidar2global[:3, :3] @ np.array([1.0, 0, 0])
+        patch_angle = np.arctan2(v[1], v[0]) / np.pi * 180
+
+        mappings = {name: self._LAYER_MAPPINGS.get(name, [name])
+                    for name in self.classes}
+        layer_names = sorted({l for ls in mappings.values() for l in ls})
+        masks = np.asarray(map_api.get_map_mask(
+            patch_box=patch_box, patch_angle=patch_angle,
+            layer_names=layer_names, canvas_size=self.canvas_size))
+        masks = masks.transpose(0, 2, 1).astype(bool)
+        labels = zeros.copy()
+        for k, name in enumerate(self.classes):
+            for layer_name in mappings[name]:
+                labels[k][masks[layer_names.index(layer_name)]] = 1
+        return labels
 
     def __call__(self, data: Dict[str, Any]) -> Dict[str, Any]:
         static = self._static_from_cache(data["token"])

@@ -3,6 +3,8 @@
 All host-side numpy (no TPU): golden values derived from the formulas cited in
 SURVEY.md §2.8/§2.9.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -311,3 +313,87 @@ def test_bev_dynamic_and_aux():
     assert out["gt_aux_bev"][0].max() == pytest.approx(2.0)
     # height channel = dz
     assert out["gt_aux_bev"][7].max() == pytest.approx(1.5)
+
+
+def test_extract_masks_stub_backend(tmp_path):
+    """tools/extract_masks.py: directory walk + cityscapes group masking over
+    samples/ and sweeps/ (reference datasets/extract_masks.py save layout)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import extract_masks as em
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for sub in ("samples", "sweeps"):
+        d = tmp_path / "data" / sub / "CAM_FRONT"
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (32, 48, 3), np.uint8)).save(
+                d / f"img{i}.jpg")
+    n = em.extract(str(tmp_path / "data"), str(tmp_path / "masks"),
+                   em.StubBackend())
+    assert n == 4
+    for g in ("human", "vehicle"):
+        p = tmp_path / "masks" / g / "samples" / "CAM_FRONT" / "img0.png"
+        assert p.exists()
+        m = np.asarray(Image.open(p))
+        assert m.dtype == np.uint8 and set(np.unique(m)) <= {0, 255}
+    # stub bands guarantee both groups hit somewhere across random images
+    tot = sum(np.asarray(Image.open(f)).sum()
+              for g in ("human", "vehicle")
+              for f in (tmp_path / "masks" / g).rglob("*.png"))
+    assert tot > 0
+
+
+def test_bev_live_map_rasterization_with_stub_api():
+    """LoadBEVSegmentation in-pipeline static rasterization against a stub map
+    API (reference loading.py:526-588: get_map_mask patch cut + composite
+    class merging)."""
+    bev = LoadBEVSegmentation(
+        dataset_root="/nonexistent", xbound=(-50, 50, 0.5), ybound=(-50, 50, 0.5),
+        classes=["drivable_area*", "ped_crossing", "divider"])
+
+    calls = {}
+
+    class StubMap:
+        def get_map_mask(self, patch_box, patch_angle, layer_names, canvas_size):
+            calls.update(patch_box=patch_box, patch_angle=patch_angle,
+                         layer_names=list(layer_names))
+            masks = np.zeros((len(layer_names), *canvas_size), np.uint8)
+            # distinct square per layer so the class merge is visible
+            for i in range(len(layer_names)):
+                masks[i, 10 + i * 20:20 + i * 20, 10:20] = 1
+            return masks
+
+    bev._maps = {"boston-seaport": StubMap()}
+    yaw = np.pi / 2
+    e2g = np.eye(4)
+    e2g[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    e2g[:2, 3] = [100.0, -40.0]
+    data = dict(token="t0", location="boston-seaport",
+                ego2global=e2g, lidar2ego=np.eye(4))
+    out = bev(data)
+    static = out["gt_masks_bev_static"]
+    assert static.shape == (3, 200, 200)
+    # patch centred on the lidar's global xy, rotated by the ego yaw
+    np.testing.assert_allclose(calls["patch_box"], (100.0, -40.0, 100.0, 100.0))
+    assert abs(calls["patch_angle"] - 90.0) < 1e-6
+    # composite classes merge multiple layers
+    ln = calls["layer_names"]
+    assert {"road_segment", "lane", "road_divider", "lane_divider",
+            "ped_crossing"} <= set(ln)
+    drivable = static[0]
+    merged = np.zeros((200, 200), bool)
+    for layer in ("road_segment", "lane"):
+        i = ln.index(layer)
+        m = np.zeros((len(ln), 200, 200), np.uint8)
+        m[i, 10 + i * 20:20 + i * 20, 10:20] = 1
+        merged |= m[i].T.astype(bool)
+    assert (drivable.astype(bool) == merged).all()
+    # no devkit + unknown location -> zeros, not a crash
+    bev2 = LoadBEVSegmentation(
+        dataset_root="/nonexistent", xbound=(-50, 50, 0.5), ybound=(-50, 50, 0.5),
+        classes=["divider"])
+    out2 = bev2(dict(token="t1", location="nowhere",
+                     ego2global=np.eye(4), lidar2ego=np.eye(4)))
+    assert out2["gt_masks_bev_static"].sum() == 0
