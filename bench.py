@@ -227,6 +227,12 @@ def main():
                   chained_steps=CHAINED_STEPS)
     if on_tpu and os.environ.get("MDV2_BENCH_TRAIN", "1") != "0":
         try:
+            # release the inference bench's device arrays (params + doubled
+            # batch + cond cache ~4 GB) before building the training state;
+            # both together exceed the 16 GB chip
+            del params, b2, cond_cache, z, out
+            import gc
+            gc.collect()
             extras.update(train_step_metric())
         except Exception as e:  # train bench is best-effort; never lose the metric
             extras["train_error"] = f"{type(e).__name__}: {e}"[:200]
