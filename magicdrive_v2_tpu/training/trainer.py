@@ -113,7 +113,7 @@ def build_training_multibucket(model, scheduler, params, cfg, *,
         warmup_steps=cfg.get("warmup_steps", 0),
         milestones=cfg.get("lr_milestones", ()), gamma=cfg.get("lr_gamma", 0.1),
         trainable=mask)
-    state = create_train_state(params, tx, ema=True)
+    state = create_train_state(params, tx, ema=cfg.get("ema", True))
     ema_decay = cfg.get("ema_decay", 0.99)
     cache: Dict[tuple, Callable] = {}
 
