@@ -36,7 +36,7 @@ def _enable_compile_cache():
         pass
 
 
-def build_step(chained: int = 2):
+def build_step(chained: int = 2, shape=None):
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +48,7 @@ def build_step(chained: int = 2):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        num_frames, height, width = 17, 424, 800
+        num_frames, height, width = shape or (17, 424, 800)
         cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
     else:
         num_frames, height, width = 9, 64, 80
@@ -89,8 +89,9 @@ def build_step(chained: int = 2):
     return run_chain, args, chained
 
 
-def cmd_time():
-    run_chain, args, chained = build_step(chained=4)
+def cmd_time(shape=None):
+    run_chain, args, chained = build_step(chained=4 if shape is None else 1,
+                                          shape=shape)
     out = run_chain(*args)
     _ = np.asarray(out[0, 0, 0, 0, :2])
     times = []
@@ -193,6 +194,9 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
     if cmd == "time":
         cmd_time()
+    elif cmd == "time848":
+        # high-res datapoint: CFG-batched step at 848x1600x17f (chunked attn)
+        cmd_time(shape=(17, 848, 1600))
     elif cmd == "profile":
         cmd_profile()
     elif cmd == "report":
