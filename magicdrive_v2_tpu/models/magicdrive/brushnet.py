@@ -195,7 +195,7 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
                  drop_cond_mask=None, drop_frame_mask=None, x_mask=None,
                  t_inpaint=None, num_timesteps: float = 1000.0,
                  noise_inpaint=None, rngs_key: Optional[jax.Array] = None,
-                 simulate_sp: Optional[int] = None):
+                 cond_cache=None, simulate_sp: Optional[int] = None):
         """Forward (reference :1466-1867; SDE :1977-2470). x_inpaint: (b, 3*NC, T_img,
         H, W) pixels; mask_inpaint: (b, NC, T_img, H, W) in [0, 1]."""
         cfg = self.cfg
@@ -273,13 +273,19 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
         else:
             t_bn, t0_bn = t_mlp, t0_mlp
 
-        y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
-                                           drop_cond_mask, drop_frame_mask)
-        if y_cond.shape[1] != T and y_cond.shape[1] > 1:
-            y_cond = jax.image.resize(
-                y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
-        c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
-        c_map = c_map.reshape(B, T, S, -1)
+        # step-independent conditioning, cached across sampler steps when given
+        # (inherited encode_conditions; base stdit3.py __call__ has the same)
+        if cond_cache is not None:
+            y_cond, c_map = cond_cache
+        else:
+            y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
+                                               drop_cond_mask, drop_frame_mask)
+            if y_cond.shape[1] != T and y_cond.shape[1] > 1:
+                y_cond = jax.image.resize(
+                    y_cond, (y_cond.shape[0], T) + y_cond.shape[2:],
+                    method="nearest")
+            c_map = self.encode_map(maps.astype(dt), NC, h_pad_size, (Tx, Hx, Wx))
+            c_map = c_map.reshape(B, T, S, -1)
 
         x_b = self.x_embedder(x).reshape(B, T, S, -1) + pos_emb.reshape(1, 1, S, -1)
         if cfg.use_x_control_embedder:

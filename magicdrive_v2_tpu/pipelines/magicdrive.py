@@ -170,11 +170,10 @@ class MagicDrivePipeline:
 
         def cond_cache_for(args, z_shape):
             """Precompute step-independent conditioning once per sample (the
-            reference re-embeds every Euler step, magicdrive_stdit3.py:1115-1157)."""
-            if any(k in args for k in ("x_inpaint",)):  # brushnet variants: skip
-                return None
-            # no blanket try/except here: a broken encode_conditions must fail
-            # loudly, not silently re-embed conditions every Euler step
+            reference re-embeds every Euler step, magicdrive_stdit3.py:1115-1157).
+            BrushNet variants inherit encode_conditions, so they cache too.
+            No blanket try/except here: a broken encode_conditions must fail
+            loudly, not silently re-embed conditions every Euler step."""
             return apply(params, tuple(z_shape), args["y"], args["maps"],
                          args.get("bbox"), args["cams"], args["rel_pos"],
                          method=type(self.model).encode_conditions)

@@ -230,3 +230,24 @@ def test_brushnet_train_step(sde, rng):
     bn_before = params["params"]["brush_ctrl_layers"]["brushnet_s"]["after_proj"]["kernel"]
     bn_after = state2.params["params"]["brush_ctrl_layers"]["brushnet_s"]["after_proj"]["kernel"]
     assert not np.allclose(np.asarray(bn_before), np.asarray(bn_after))
+
+
+@pytest.mark.heavy
+def test_brushnet_cond_cache_matches_uncached(rng):
+    """BrushNet accepts the sampler's condition cache (inherited
+    encode_conditions) and produces identical output — regression for the
+    inference app passing cond_cache to the BrushNet variants."""
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    cfg = _brush_cfg(sde=False)
+    model = MagicDriveSTDiT3BrushNet(cfg)
+    batch = _brush_batch(cfg)
+    params = model.init(rng, **batch, height=32.0, width=40.0)
+    out = model.apply(params, **batch, height=32.0, width=40.0)
+    cache = model.apply(
+        params, tuple(batch["x"].shape), batch["y"], batch["maps"],
+        batch["bbox"], batch["cams"], batch["rel_pos"],
+        method=MagicDriveSTDiT3.encode_conditions)
+    out_cached = model.apply(params, **batch, height=32.0, width=40.0,
+                             cond_cache=cache)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_cached),
+                               atol=1e-5, rtol=1e-5)
