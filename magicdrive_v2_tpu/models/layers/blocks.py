@@ -259,11 +259,12 @@ def _use_fused_attention(seq_len: int) -> bool:
     see docs/PERF.md). Requires tracing OUTSIDE a mesh context (under GSPMD the
     XLA composition keeps sequence sharding) and k/v rows that fit VMEM."""
     import os
+    del seq_len  # blocked-K variant handles any length (ops/flash_fused.py)
     if os.environ.get("MDV2_FUSED_ATTN") != "1":
         return False
     if get_current_mesh() is not None:
         return False
-    return seq_len <= 6144
+    return True
 
 
 class SelfAttention(nn.Module):

@@ -83,33 +83,32 @@ def chunked_xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     per_b = H * M
     q_chunk = max(128, int(max_logit_elems // max(1, b_chunk * per_b)))
     q_chunk = min(q_chunk, N)
-    nb = -(-B // b_chunk)
     nq = -(-N // q_chunk)
-    pad_b = nb * b_chunk - B
     pad_q = nq * q_chunk - N
-    if pad_b:
-        qp = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
-        kp = jnp.pad(k, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
-        vp = jnp.pad(v, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
-    else:
-        qp, kp, vp = q, k, v
-    if pad_q:
-        qp = jnp.pad(qp, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
 
-    out0 = jnp.zeros(qp.shape, q.dtype)
+    # STATIC python loop over batch chunks: k/v per chunk are plain slices
+    # (views), where a fori_loop with lax.dynamic_slice forced a COPY of the
+    # full k/v rows on every iteration (~47 GB of pure copy traffic per 848p
+    # forward — most of its runtime). Only the q axis is chunked dynamically
+    # inside, and q chunks are small.
+    outs = []
+    for b0 in range(0, B, b_chunk):
+        b1 = min(b0 + b_chunk, B)
+        q_b, k_b, v_b = q[b0:b1], k[b0:b1], v[b0:b1]
+        if nq == 1:
+            outs.append(xla_attention(q_b, k_b, v_b, scale=scale))
+            continue
+        qp = jnp.pad(q_b, ((0, 0), (0, pad_q), (0, 0), (0, 0))) if pad_q else q_b
 
-    def body(i, out):
-        bi, qi = i // nq, i % nq
-        q_i = jax.lax.dynamic_slice(
-            qp, (bi * b_chunk, qi * q_chunk, 0, 0), (b_chunk, q_chunk, H, D))
-        k_i = jax.lax.dynamic_slice(kp, (bi * b_chunk, 0, 0, 0), (b_chunk, M, H, D))
-        v_i = jax.lax.dynamic_slice(vp, (bi * b_chunk, 0, 0, 0), (b_chunk, M, H, D))
-        o = xla_attention(q_i, k_i, v_i, scale=scale).astype(out.dtype)
-        return jax.lax.dynamic_update_slice(
-            out, o, (bi * b_chunk, qi * q_chunk, 0, 0))
+        def body(qi, out, k_b=k_b, v_b=v_b, qp=qp, nb_=b1 - b0):
+            q_i = jax.lax.dynamic_slice(
+                qp, (0, qi * q_chunk, 0, 0), (nb_, q_chunk, H, D))
+            o = xla_attention(q_i, k_b, v_b, scale=scale).astype(out.dtype)
+            return jax.lax.dynamic_update_slice(out, o, (0, qi * q_chunk, 0, 0))
 
-    out = jax.lax.fori_loop(0, nb * nq, body, out0)
-    return out[:B, :N]
+        out_b = jax.lax.fori_loop(0, nq, body, jnp.zeros(qp.shape, q.dtype))
+        outs.append(out_b[:, :N])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

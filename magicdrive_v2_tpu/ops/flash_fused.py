@@ -137,6 +137,130 @@ def _fused_fwd_impl(qkv, q_w, k_w, kv_perm, scale, block_q, use_norm):
     return out.reshape(G, N, H, D)
 
 
+def _fused_fwd_blocked(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
+                       use_norm):
+    """Blocked-K online-softmax variant for long sequences (848p: S=5300 k/v
+    rows no longer fit VMEM whole). Same operand contract as
+    _fused_fwd_impl; grid adds an innermost k-block axis with fp32
+    running-max/sum/accumulator scratch per head."""
+    G, N, _, H, D = qkv.shape
+    bq = min(block_q, N)
+    nq = -(-N // bq)
+    bk = min(block_k, N)
+    nk = -(-N // bk)
+    if q_w is None:
+        q_w = jnp.ones((H, D), jnp.float32)
+        k_w = jnp.ones((H, D), jnp.float32)
+    else:
+        q_w = jnp.broadcast_to(q_w.astype(jnp.float32), (H, D))
+        k_w = jnp.broadcast_to(k_w.astype(jnp.float32), (H, D))
+    if kv_perm is None:
+        kv_perm = np.arange(G, dtype=np.int32)
+    kv_perm = np.asarray(kv_perm, np.int32)
+    if kv_perm.ndim == 1:
+        kv_perm = kv_perm[None]
+    J = kv_perm.shape[0]
+    kv_perm = jnp.asarray(kv_perm)
+    kv_len = N  # logical rows; the trailing k block may be partial
+
+    def kernel(perm_ref, q_op, k_op, v_op, qw_ref, kw_ref, o_ref,
+               acc_scr, m_scr, l_scr):
+        j = pl.program_id(2)
+        ki = pl.program_id(3)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        # mask out-of-range rows of the trailing k block; v rows must be
+        # zeroed too: p is 0 there, but 0 * garbage(=inf/nan) poisons p@v
+        base = ki * bk
+        col_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        col_ok = col_ids < kv_len  # (1, bk)
+        row_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                  ) < kv_len  # (bk, 1)
+
+        for h in range(H):
+            q = q_op[0, :, 0, h, :].astype(jnp.float32)   # (bq, D)
+            k = k_op[0, :, 0, h, :].astype(jnp.float32)   # (bk, D)
+            v = v_op[0, :, 0, h, :]                       # (bk, D)
+            if use_norm:
+                qw = qw_ref[h].astype(jnp.float32)
+                kw = kw_ref[h].astype(jnp.float32)
+                q = q * jax.lax.rsqrt(
+                    jnp.mean(q * q, axis=-1, keepdims=True) + _EPS) * qw
+                k = k * jax.lax.rsqrt(
+                    jnp.mean(k * k, axis=-1, keepdims=True) + _EPS) * kw
+            v = jnp.where(row_ok, v, jnp.zeros_like(v))
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(col_ok, s, -jnp.inf)
+            m_prev = m_scr[h, :, :1]                       # (bq, 1)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_scr[h, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_scr[h] = acc_scr[h] * alpha + pv
+            m_scr[h] = jnp.broadcast_to(m_new, m_scr.shape[1:])
+            l_scr[h] = jnp.broadcast_to(l_new, l_scr.shape[1:])
+
+        @pl.when(ki == nk - 1)
+        def _done():
+            outs = [(acc_scr[h] / l_scr[h, :, :1]).astype(o_ref.dtype)
+                    for h in range(H)]
+            cat = jnp.concatenate(outs, axis=-1)
+            if J == 1:
+                o_ref[0] = cat
+            else:
+                @pl.when(j == 0)
+                def _first():
+                    o_ref[0] = cat
+
+                @pl.when(j > 0)
+                def _acc():
+                    o_ref[0] += cat
+
+    grid = (G, nq, J, nk)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, 1, H, D),
+                             lambda g, qi, j, ki, perm: (g, qi, 0, 0, 0)),
+                pl.BlockSpec((1, bk, 1, H, D),
+                             lambda g, qi, j, ki, perm: (perm[j, g], ki, 1, 0, 0)),
+                pl.BlockSpec((1, bk, 1, H, D),
+                             lambda g, qi, j, ki, perm: (perm[j, g], ki, 2, 0, 0)),
+                pl.BlockSpec((H, D), lambda g, qi, j, ki, perm: (0, 0)),
+                pl.BlockSpec((H, D), lambda g, qi, j, ki, perm: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, H * D),
+                                   lambda g, qi, j, ki, perm: (g, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, bq, D), jnp.float32),
+                pltpu.VMEM((H, bq, 128), jnp.float32),
+                pltpu.VMEM((H, bq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, N, H * D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(kv_perm, qkv, qkv, qkv, q_w, k_w)
+    return out.reshape(G, N, H, D)
+
+
 def _xla_reference(qkv, q_w, k_w, kv_perm, scale):
     """Composition-of-XLA-ops reference; used off-TPU and as the vjp target."""
     q = qkv[:, :, 0]
@@ -168,6 +292,16 @@ def _xla_reference(qkv, q_w, k_w, kv_perm, scale):
     return out
 
 
+# full k/v rows stream whole into VMEM below this length; blocked-K online
+# softmax beyond (848p S=5300 needs ~228 MB for full rows vs 128 MB VMEM)
+FULL_ROW_MAX_N = 2048
+DEFAULT_BLOCK_K = 512
+# the blocked path unrolls all 16 heads with live online-softmax state; at
+# block_q=512 Mosaic spills ~100 MB of registers to scoped VMEM, so it runs
+# with a smaller q block than the full-row path
+BLOCKED_BLOCK_Q = 256
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_qkv_attention(qkv: jnp.ndarray,
                         q_norm_weight: Optional[jnp.ndarray],
@@ -178,17 +312,24 @@ def fused_qkv_attention(qkv: jnp.ndarray,
     """Attention straight off the fused qkv projection.
 
     qkv: (G, N, 3, H, D); q/k_norm_weight: (D,) per-head RMSNorm weights or
-    None (both or neither); kv_perm: static length-G int sequence, k/v are read
-    from group kv_perm[g] (cross-view neighbors) — None for self-attention.
-    Returns (G, N, H, D).
+    None (both or neither); kv_perm: static (G,) or (n_nbr, G) int sequence,
+    k/v are read from group kv_perm[j][g] (cross-view neighbors; 2D sums the
+    per-source attention outputs) — None for self-attention.
+    Returns (G, N, H, D). Dispatch: exact full-row softmax while k/v rows fit
+    VMEM (N <= FULL_ROW_MAX_N), blocked-K online softmax beyond.
     """
     if scale is None:
         scale = qkv.shape[-1] ** -0.5
     on_tpu = INTERPRET or jax.devices()[0].platform == "tpu"
     if not on_tpu:
         return _xla_reference(qkv, q_norm_weight, k_norm_weight, kv_perm, scale)
+    use_norm = q_norm_weight is not None
+    if qkv.shape[1] > FULL_ROW_MAX_N:
+        return _fused_fwd_blocked(qkv, q_norm_weight, k_norm_weight, kv_perm,
+                                  scale, min(block_q, BLOCKED_BLOCK_Q),
+                                  DEFAULT_BLOCK_K, use_norm)
     return _fused_fwd_impl(qkv, q_norm_weight, k_norm_weight, kv_perm, scale,
-                           block_q, use_norm=q_norm_weight is not None)
+                           block_q, use_norm=use_norm)
 
 
 def _fwd(qkv, q_w, k_w, kv_perm, scale, block_q):

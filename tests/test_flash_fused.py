@@ -114,3 +114,24 @@ def test_self_attention_module_fused_matches_fallback():
         B._use_fused_attention = orig
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_blocked_k_matches_full_row(data):
+    """Online-softmax blocked-K path == full-row path (long-sequence kernel)."""
+    qkv, qw, kw = data
+    full = flash_fused._fused_fwd_impl(qkv, qw, kw, None, D ** -0.5, 16, True)
+    blocked = flash_fused._fused_fwd_blocked(qkv, qw, kw, None, D ** -0.5,
+                                             16, 16, True)  # 40 = 2x16 + 8
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_blocked_k_perm_two_sources(data):
+    qkv, _, _ = data
+    perm = np.stack([np.roll(np.arange(G), 1), np.roll(np.arange(G), -1)])
+    blocked = flash_fused._fused_fwd_blocked(qkv, None, None,
+                                             tuple(map(tuple, perm)),
+                                             D ** -0.5, 16, 16, False)
+    ref = _xla_reference(qkv, None, None, perm, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
