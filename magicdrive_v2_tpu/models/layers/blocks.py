@@ -252,19 +252,32 @@ def _rms_apply(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.nd
 
 
 def _use_fused_attention(seq_len: int) -> bool:
-    """The Pallas fused-qkv kernel (ops/flash_fused.py) — OPT-IN via
-    MDV2_FUSED_ATTN=1 while it trails the XLA composition in-graph (block
-    microbench: 99 vs 75 ms/spatial-block at 424p; standalone the kernel wins,
-    but in-graph the custom call's operand relayout + lost fusion eat the gain —
-    see docs/PERF.md). Requires tracing OUTSIDE a mesh context (under GSPMD the
-    XLA composition keeps sequence sharding) and k/v rows that fit VMEM."""
+    """Dispatch to the Pallas fused-qkv kernel (ops/flash_fused.py).
+
+    Default policy (measured, docs/PERF.md): LONG sequences (beyond the
+    full-row VMEM limit, e.g. 848p S=5300) use the blocked-K online-softmax
+    kernel — the chunked-XLA composition there is HBM-bound on materialized
+    fp32 logits (~3.2 GB traffic per chunk, ~480 ms/site in-graph vs the
+    kernel's ~102 ms). SHORT sequences (424p S=1350) stay on the fused-XLA
+    composition, which beats the full-row kernel in-graph (75 vs 99
+    ms/spatial-block: the custom call's operand relayout + lost fusion eat the
+    standalone win). MDV2_FUSED_ATTN=1 forces the kernel everywhere, =0
+    disables it. Requires tracing OUTSIDE a mesh context (under GSPMD the XLA
+    composition keeps sequence sharding)."""
     import os
-    del seq_len  # blocked-K variant handles any length (ops/flash_fused.py)
-    if os.environ.get("MDV2_FUSED_ATTN") != "1":
+    from ...ops.flash_fused import FULL_ROW_MAX_N
+    flag = os.environ.get("MDV2_FUSED_ATTN")
+    if flag == "0":
         return False
     if get_current_mesh() is not None:
         return False
-    return True
+    if flag == "1":
+        return True
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return on_tpu and seq_len > FULL_ROW_MAX_N
 
 
 class SelfAttention(nn.Module):
