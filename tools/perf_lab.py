@@ -36,7 +36,7 @@ def _enable_compile_cache():
         pass
 
 
-def build_step(chained: int = 2, shape=None):
+def build_step(chained: int = 2, shape=None, cfg_double: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -63,12 +63,16 @@ def build_step(chained: int = 2, shape=None):
         params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
 
-    double = lambda a: jnp.concatenate([a, a], axis=0)
+    if not cfg_double:  # slice-CFG regime (the reference's 848p recipe)
+        double = lambda a: a
+    else:
+        double = lambda a: jnp.concatenate([a, a], axis=0)
     b2 = {k: jax.tree_util.tree_map(double, v) for k, v in batch.items()
           if k not in ("x", "timestep")}
     params = jax.device_put(params)
     b2 = jax.device_put(b2)
-    z_shape2 = (2 * batch["x"].shape[0],) + tuple(batch["x"].shape[1:])
+    mult = 2 if cfg_double else 1
+    z_shape2 = (mult * batch["x"].shape[0],) + tuple(batch["x"].shape[1:])
     cond_cache = jax.jit(lambda p, a: model.apply(
         p, z_shape2, a["y"], a["maps"], a["bbox"], a["cams"], a["rel_pos"],
         method=MagicDriveSTDiT3.encode_conditions))(params, b2)
@@ -76,9 +80,10 @@ def build_step(chained: int = 2, shape=None):
     def one_step(params, b2, cond_cache, z, t):
         pred = model.apply(params, double(z), double(t), **b2, height=h, width=w,
                            cond_cache=cond_cache)
-        cond, uncond = jnp.split(pred, 2, axis=0)
-        v = uncond + 2.0 * (cond - uncond)
-        return z + v.astype(z.dtype) * (1.0 / 30)
+        if cfg_double:
+            cond, uncond = jnp.split(pred, 2, axis=0)
+            pred = uncond + 2.0 * (cond - uncond)
+        return z + pred.astype(z.dtype) * (1.0 / 30)
 
     @jax.jit
     def run_chain(params, b2, cond_cache, z, t):
@@ -89,9 +94,9 @@ def build_step(chained: int = 2, shape=None):
     return run_chain, args, chained
 
 
-def cmd_time(shape=None):
+def cmd_time(shape=None, cfg_double=True):
     run_chain, args, chained = build_step(chained=4 if shape is None else 1,
-                                          shape=shape)
+                                          shape=shape, cfg_double=cfg_double)
     out = run_chain(*args)
     _ = np.asarray(out[0, 0, 0, 0, :2])
     times = []
@@ -104,9 +109,10 @@ def cmd_time(shape=None):
           + " ".join(f"{t:.3f}" for t in times) + ")")
 
 
-def cmd_profile():
+def cmd_profile(shape=None, cfg_double=True):
     import jax
-    run_chain, args, chained = build_step(chained=1)
+    run_chain, args, chained = build_step(chained=1, shape=shape,
+                                          cfg_double=cfg_double)
     out = run_chain(*args)  # compile outside the trace
     _ = np.asarray(out[0, 0, 0, 0, :2])
     os.makedirs(TRACE_DIR, exist_ok=True)
@@ -195,10 +201,17 @@ if __name__ == "__main__":
     if cmd == "time":
         cmd_time()
     elif cmd == "time848":
-        # high-res datapoint: CFG-batched step at 848x1600x17f (chunked attn)
-        cmd_time(shape=(17, 848, 1600))
+        # high-res datapoint: single-pass step at 848x1600x17f (the reference
+        # runs slice-CFG here, so one model call == one CFG half)
+        cmd_time(shape=(17, 848, 1600), cfg_double=False)
+    elif cmd == "time424full":
+        # full-scene datapoint: 232 frames (the reference's full-length 424p
+        # needs 40.7 GB at sp=1 on an H20; slice-CFG single pass)
+        cmd_time(shape=(232, 424, 800), cfg_double=False)
     elif cmd == "profile":
         cmd_profile()
+    elif cmd == "profile848":
+        cmd_profile(shape=(17, 848, 1600), cfg_double=False)
     elif cmd == "report":
         cmd_report(sys.argv[2] if len(sys.argv) > 2 else TRACE_DIR)
     elif cmd == "ops":
