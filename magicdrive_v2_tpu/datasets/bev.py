@@ -80,6 +80,7 @@ class LoadBEVSegmentation:
                                cache_file)
         self.dataset_root = dataset_root
         self._maps = None  # lazy NuScenesMap handles when devkit available
+        self._warned_locations: set = set()
 
     # -- canvas helpers --
 
@@ -205,7 +206,13 @@ class LoadBEVSegmentation:
             return zeros
         try:
             map_api = self._map_api_for(location)
-        except Exception:
+        except (ImportError, FileNotFoundError, OSError) as e:
+            if location not in self._warned_locations:
+                self._warned_locations.add(location)
+                logging.getLogger(__name__).warning(
+                    "BEV map for %r unavailable (%s); emitting zero static "
+                    "layers — use the h5 cache (tools/prepare_map_aux) or "
+                    "install map expansion assets", location, e)
             return zeros
 
         lidar2global = np.asarray(data["ego2global"]) @ np.asarray(

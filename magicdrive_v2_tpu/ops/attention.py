@@ -96,7 +96,7 @@ def chunked_xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         b1 = min(b0 + b_chunk, B)
         q_b, k_b, v_b = q[b0:b1], k[b0:b1], v[b0:b1]
         if nq == 1:
-            outs.append(xla_attention(q_b, k_b, v_b, scale=scale))
+            outs.append(xla_attention(q_b, k_b, v_b, scale=scale).astype(q.dtype))
             continue
         qp = jnp.pad(q_b, ((0, 0), (0, pad_q), (0, 0), (0, 0))) if pad_q else q_b
 

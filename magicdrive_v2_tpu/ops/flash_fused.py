@@ -16,8 +16,9 @@ q/k RMSNorm pass, on top of ~8.5 ms of matmuls. This kernel removes all of it:
   (reference magicdrive_stdit3.py:303-332) becomes an index-map lookup instead
   of a gather copy of the whole k/v tensor.
 
-Numerics match the XLA path exactly: fp32 RMSNorm, fp32 logits/softmax, bf16
-p@v with fp32 accumulation.
+Numerics match the XLA path: RMSNorm uses _rms_apply's exact cast points
+(fp32 normalize -> compute-dtype round -> fp32 weight -> round back), logits
+and softmax are fp32, p@v is compute-dtype with fp32 accumulation.
 
 The backward pass rematerializes via the XLA attention composition
 (jax.custom_vjp), like ops/flash_attention.py.
@@ -38,6 +39,17 @@ INTERPRET = os.environ.get("MDV2_PALLAS_INTERPRET", "0") == "1"
 
 DEFAULT_BLOCK_Q = 512
 _EPS = 1e-6
+
+
+def _rms_kernel(x, w):
+    """In-kernel RMSNorm with the exact cast points of blocks._rms_apply: fp32
+    normalize, round the normalized activation to the compute dtype, multiply
+    by the fp32 weight, round back. Keeps fused and XLA paths bit-consistent."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    x32 = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + _EPS)
+    return (w.astype(jnp.float32) * x32.astype(dtype).astype(jnp.float32)
+            ).astype(dtype)
 
 
 def _fused_fwd_impl(qkv, q_w, k_w, kv_perm, scale, block_q, use_norm):
@@ -71,16 +83,14 @@ def _fused_fwd_impl(qkv, q_w, k_w, kv_perm, scale, block_q, use_norm):
         j = pl.program_id(2)
         outs = []
         for h in range(H):
-            q = q_op[0, :, 0, h, :].astype(jnp.float32)   # (bq, D)
-            k = k_op[0, :, 0, h, :].astype(jnp.float32)   # (N, D)
+            q = q_op[0, :, 0, h, :]                       # (bq, D) compute dtype
+            k = k_op[0, :, 0, h, :]                       # (N, D)
             v = v_op[0, :, 0, h, :]                       # (N, D) compute dtype
             if use_norm:
-                qw = qw_ref[h].astype(jnp.float32)
-                kw = kw_ref[h].astype(jnp.float32)
-                q = q * jax.lax.rsqrt(
-                    jnp.mean(q * q, axis=-1, keepdims=True) + _EPS) * qw
-                k = k * jax.lax.rsqrt(
-                    jnp.mean(k * k, axis=-1, keepdims=True) + _EPS) * kw
+                # cast points match _rms_apply (blocks.py): fp32 normalize,
+                # round to the compute dtype, fp32 weight multiply, round back
+                q = _rms_kernel(q, qw_ref[h])
+                k = _rms_kernel(k, kw_ref[h])
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -183,16 +193,12 @@ def _fused_fwd_blocked(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
                   ) < kv_len  # (bk, 1)
 
         for h in range(H):
-            q = q_op[0, :, 0, h, :].astype(jnp.float32)   # (bq, D)
-            k = k_op[0, :, 0, h, :].astype(jnp.float32)   # (bk, D)
+            q = q_op[0, :, 0, h, :]                       # (bq, D) compute dtype
+            k = k_op[0, :, 0, h, :]                       # (bk, D)
             v = v_op[0, :, 0, h, :]                       # (bk, D)
             if use_norm:
-                qw = qw_ref[h].astype(jnp.float32)
-                kw = kw_ref[h].astype(jnp.float32)
-                q = q * jax.lax.rsqrt(
-                    jnp.mean(q * q, axis=-1, keepdims=True) + _EPS) * qw
-                k = k * jax.lax.rsqrt(
-                    jnp.mean(k * k, axis=-1, keepdims=True) + _EPS) * kw
+                q = _rms_kernel(q, qw_ref[h])
+                k = _rms_kernel(k, kw_ref[h])
             v = jnp.where(row_ok, v, jnp.zeros_like(v))
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale

@@ -57,6 +57,13 @@ _NAME_REWRITES = [
     (re.compile(r"^qkv_kernel$"), "qkv.weight"),
     (re.compile(r"^qkv_bias$"), "qkv.bias"),
     (re.compile(r"^kernel$"), "weight"),
+    # CogVideoX VAE module tree (models/vae/cogvideox.py <-> diffusers naming)
+    (re.compile(r"^down_blocks_(\d+)$"), r"down_blocks.\1"),
+    (re.compile(r"^up_blocks_(\d+)$"), r"up_blocks.\1"),
+    (re.compile(r"^resnets_(\d+)$"), r"resnets.\1"),
+    (re.compile(r"^downsamplers_(\d+)$"), r"downsamplers.\1"),
+    (re.compile(r"^upsamplers_(\d+)$"), r"upsamplers.\1"),
+    (re.compile(r"^scale$"), "weight"),  # flax GroupNorm scale -> torch weight
 ]
 
 # scanned layer containers: (flax name, torch list name template, index offset key)
@@ -214,8 +221,8 @@ def convert_torch_state_dict(torch_dict: Dict[str, np.ndarray], params: Any,
             if not ok:
                 continue
             arr = np.stack(per)
-        _set_path(out, path, arr.astype(np.asarray(leaf).dtype
-                                        if hasattr(leaf, "dtype") else np.float32))
+        # leaf may be a real array or a jax.ShapeDtypeStruct (abstract init)
+        _set_path(out, path, arr.astype(getattr(leaf, "dtype", None) or np.float32))
     unused = sorted(set(torch_dict) - used)
     if missing:
         msg = f"convert: {len(missing)} params missing from torch dict, e.g. {missing[:8]}"
