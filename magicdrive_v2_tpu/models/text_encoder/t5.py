@@ -73,9 +73,17 @@ class T5Encoder:
         self.tokenizer = AutoTokenizer.from_pretrained(
             from_pretrained, cache_dir=cache_dir, local_files_only=local_files_only)
         # shardformer in the reference only fuses torch kernels; XLA fuses for us.
-        self.model = FlaxT5EncoderModel.from_pretrained(
-            from_pretrained, cache_dir=cache_dir, local_files_only=local_files_only,
-            dtype=dtype)
+        try:
+            self.model = FlaxT5EncoderModel.from_pretrained(
+                from_pretrained, cache_dir=cache_dir,
+                local_files_only=local_files_only, dtype=dtype)
+        except (OSError, EnvironmentError):
+            # checkpoint has no flax weights (the usual case for the
+            # DeepFloyd/t5-v1_1-xxl snapshot the reference uses, t5.py:56-77):
+            # convert the torch weights on the fly.
+            self.model = FlaxT5EncoderModel.from_pretrained(
+                from_pretrained, cache_dir=cache_dir,
+                local_files_only=local_files_only, dtype=dtype, from_pt=True)
         self.model_max_length = model_max_length
         self.output_dim = self.model.config.d_model
         self.null_y: Optional[jnp.ndarray] = None

@@ -4,13 +4,17 @@ Re-design of the reference's vendored diffusers VAE (reference:
 magicdrivedit/models/vae/vae_cogvideox.py). Structural notes:
 
 - The reference streams frames through every CausalConv3d with a `conv_cache` ("fake
-  context parallel", vae_cogvideox.py:58-136) so chunked encode/decode matches
-  full-sequence processing. Since the caches persist across chunks, chunked processing is
-  *exactly* full-sequence causal convolution with the first frame replicated (k_t-1)
-  times at the front. We therefore implement causal convs full-sequence — simpler, fully
-  compiled, and numerically identical — and treat chunking/tiling purely as memory
-  strategies (tiled decode is ported; frame-chunk decode can be added on top without
-  changing numerics).
+  context parallel", vae_cogvideox.py:58-136) so chunked encode/decode continues the
+  causal sequence across chunks. We implement BOTH paths: full-sequence (single
+  compiled call — the fast path when memory allows) and streaming (a `streaming=True`
+  module variant carrying each conv's last k_t-1 input frames in the flax "cache"
+  collection), which bounds activation memory to one micro-frame chunk and honors the
+  wrapper's `micro_frame_size` contract (vae_cogvideox.py:1347-1374) and the decoder's
+  2-latent-frame batching (`num_latent_frames_batch_size`, :1153-1165). Causal convs
+  are exact across chunking; GroupNorm statistics are computed over the chunk's
+  T-extent exactly as the reference's chunked path does, so streaming here matches the
+  reference's chunked numerics (and differs from full-sequence at the same
+  GroupNorm-statistics level the reference's own two paths differ).
 - Internal layout is channel-last (B, T, H, W, C) for TPU convolutions; the public API
   keeps the reference's (B, C, T, H, W) contract.
 """
@@ -32,18 +36,35 @@ Dtype = Any
 class CausalConv3d(nn.Module):
     """Causal 3D conv: time front-padded with the replicated first frame (reference
     CogVideoXCausalConv3d.fake_context_parallel_forward, vae_cogvideox.py:111-136).
-    Channel-last (B, T, H, W, C)."""
+    Channel-last (B, T, H, W, C).
+
+    `streaming=True` enables the reference's "fake context parallel" cache
+    (vae_cogvideox.py:109-131): the last (k_t-1) input frames are carried in the
+    flax "cache" collection, so chunked processing continues the causal sequence
+    instead of restarting it. Apply with `mutable=["cache"]` and feed the
+    returned collection into the next chunk's apply."""
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: int = 1
     dilation: int = 1
     dtype: Dtype = jnp.float32
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kt, kh, kw = self.kernel_size
         time_pad = self.dilation * (kt - 1)
-        if time_pad > 0:
+        if time_pad > 0 and self.streaming:
+            cache = self.variable("cache", "conv_cache",
+                                  lambda: jnp.zeros((0,), x.dtype))
+            prev = cache.value
+            if prev.ndim == x.ndim and prev.shape[1] == time_pad:
+                x = jnp.concatenate([prev.astype(x.dtype), x], axis=1)
+            else:  # first chunk: replicate the first frame
+                x = jnp.concatenate([jnp.repeat(x[:, :1], time_pad, axis=1), x],
+                                    axis=1)
+            cache.value = x[:, -time_pad:]
+        elif time_pad > 0:
             first = jnp.repeat(x[:, :1], time_pad, axis=1)
             x = jnp.concatenate([first, x], axis=1)
         if kh > 1 or kw > 1:
@@ -105,6 +126,7 @@ class SpatialNorm3D(nn.Module):
     f_channels: int
     groups: int = 32
     dtype: Dtype = jnp.float32
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, f: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
@@ -118,9 +140,9 @@ class SpatialNorm3D(nn.Module):
             zq = _nearest_resize_hw(_nearest_resize_time(zq, Tf), Hf, Wf)
         norm_f = GroupNorm(self.groups, name="norm_layer")(f)
         conv_y = CausalConv3d(self.f_channels, (1, 1, 1), dtype=self.dtype,
-                              name="conv_y")(zq)
+                              streaming=self.streaming, name="conv_y")(zq)
         conv_b = CausalConv3d(self.f_channels, (1, 1, 1), dtype=self.dtype,
-                              name="conv_b")(zq)
+                              streaming=self.streaming, name="conv_b")(zq)
         return norm_f * conv_y + conv_b
 
 
@@ -132,6 +154,7 @@ class ResnetBlock3D(nn.Module):
     eps: float = 1e-6
     spatial_norm_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -139,17 +162,20 @@ class ResnetBlock3D(nn.Module):
         h = x
         if self.spatial_norm_dim is not None:
             h = SpatialNorm3D(self.in_channels, self.groups, dtype=self.dtype,
-                              name="norm1")(h, zq)
+                              streaming=self.streaming, name="norm1")(h, zq)
         else:
             h = GroupNorm(self.groups, self.eps, name="norm1")(h)
         h = jax.nn.silu(h)
-        h = CausalConv3d(out_ch, (3, 3, 3), dtype=self.dtype, name="conv1")(h)
+        h = CausalConv3d(out_ch, (3, 3, 3), dtype=self.dtype,
+                         streaming=self.streaming, name="conv1")(h)
         if self.spatial_norm_dim is not None:
-            h = SpatialNorm3D(out_ch, self.groups, dtype=self.dtype, name="norm2")(h, zq)
+            h = SpatialNorm3D(out_ch, self.groups, dtype=self.dtype,
+                              streaming=self.streaming, name="norm2")(h, zq)
         else:
             h = GroupNorm(self.groups, self.eps, name="norm2")(h)
         h = jax.nn.silu(h)
-        h = CausalConv3d(out_ch, (3, 3, 3), dtype=self.dtype, name="conv2")(h)
+        h = CausalConv3d(out_ch, (3, 3, 3), dtype=self.dtype,
+                         streaming=self.streaming, name="conv2")(h)
         if self.in_channels != out_ch:
             x = nn.Conv(out_ch, (1, 1, 1), dtype=self.dtype, name="conv_shortcut")(
                 x.astype(self.dtype))
@@ -223,13 +249,14 @@ class DownBlock3D(nn.Module):
     add_downsample: bool = True
     compress_time: bool = False
     dtype: Dtype = jnp.float32
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             in_ch = self.in_channels if i == 0 else self.out_channels
             x = ResnetBlock3D(in_ch, self.out_channels, self.groups, dtype=self.dtype,
-                              name=f"resnets_{i}")(x)
+                              streaming=self.streaming, name=f"resnets_{i}")(x)
         if self.add_downsample:
             x = Downsample3D(self.out_channels, self.compress_time, dtype=self.dtype,
                              name="downsamplers_0")(x)
@@ -243,13 +270,14 @@ class MidBlock3D(nn.Module):
     groups: int = 32
     spatial_norm_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, zq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = ResnetBlock3D(self.in_channels, self.in_channels, self.groups,
                               spatial_norm_dim=self.spatial_norm_dim, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, zq)
+                              streaming=self.streaming, name=f"resnets_{i}")(x, zq)
         return x
 
 
@@ -263,6 +291,7 @@ class UpBlock3D(nn.Module):
     add_upsample: bool = True
     compress_time: bool = False
     dtype: Dtype = jnp.float32
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, zq: jnp.ndarray) -> jnp.ndarray:
@@ -270,7 +299,7 @@ class UpBlock3D(nn.Module):
             in_ch = self.in_channels if i == 0 else self.out_channels
             x = ResnetBlock3D(in_ch, self.out_channels, self.groups,
                               spatial_norm_dim=self.spatial_norm_dim, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, zq)
+                              streaming=self.streaming, name=f"resnets_{i}")(x, zq)
         if self.add_upsample:
             x = Upsample3D(self.out_channels, self.compress_time, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -294,42 +323,47 @@ class CogVAEConfig:
 class CogVideoXEncoder3D(nn.Module):
     """(reference vae_cogvideox.py:650-781)"""
     cfg: CogVAEConfig
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         level = int(np.log2(cfg.temporal_compression_ratio))
         x = CausalConv3d(cfg.block_out_channels[0], (3, 3, 3), dtype=cfg.dtype,
-                         name="conv_in")(x)
+                         streaming=self.streaming, name="conv_in")(x)
         out_ch = cfg.block_out_channels[0]
         for i, ch in enumerate(cfg.block_out_channels):
             in_ch, out_ch = out_ch, ch
             is_final = i == len(cfg.block_out_channels) - 1
             x = DownBlock3D(in_ch, out_ch, cfg.layers_per_block, cfg.norm_num_groups,
                             add_downsample=not is_final, compress_time=i < level,
-                            dtype=cfg.dtype, name=f"down_blocks_{i}")(x)
+                            dtype=cfg.dtype, streaming=self.streaming,
+                            name=f"down_blocks_{i}")(x)
         x = MidBlock3D(cfg.block_out_channels[-1], 2, cfg.norm_num_groups,
-                       dtype=cfg.dtype, name="mid_block")(x)
+                       dtype=cfg.dtype, streaming=self.streaming,
+                       name="mid_block")(x)
         x = GroupNorm(cfg.norm_num_groups, name="norm_out")(x)
         x = jax.nn.silu(x)
         x = CausalConv3d(2 * cfg.latent_channels, (3, 3, 3), dtype=cfg.dtype,
-                         name="conv_out")(x)
+                         streaming=self.streaming, name="conv_out")(x)
         return x
 
 
 class CogVideoXDecoder3D(nn.Module):
     """(reference vae_cogvideox.py:784-922)"""
     cfg: CogVAEConfig
+    streaming: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         level = int(np.log2(cfg.temporal_compression_ratio))
         rev = list(reversed(cfg.block_out_channels))
-        x = CausalConv3d(rev[0], (3, 3, 3), dtype=cfg.dtype, name="conv_in")(z)
+        x = CausalConv3d(rev[0], (3, 3, 3), dtype=cfg.dtype,
+                         streaming=self.streaming, name="conv_in")(z)
         x = MidBlock3D(rev[0], 2, cfg.norm_num_groups,
                        spatial_norm_dim=cfg.latent_channels, dtype=cfg.dtype,
-                       name="mid_block")(x, z)
+                       streaming=self.streaming, name="mid_block")(x, z)
         out_ch = rev[0]
         for i, ch in enumerate(rev):
             in_ch, out_ch = out_ch, ch
@@ -337,12 +371,13 @@ class CogVideoXDecoder3D(nn.Module):
             x = UpBlock3D(in_ch, out_ch, cfg.layers_per_block + 1, cfg.norm_num_groups,
                           spatial_norm_dim=cfg.latent_channels,
                           add_upsample=not is_final, compress_time=i < level,
-                          dtype=cfg.dtype, name=f"up_blocks_{i}")(x, z)
+                          dtype=cfg.dtype, streaming=self.streaming,
+                          name=f"up_blocks_{i}")(x, z)
         x = SpatialNorm3D(rev[-1], cfg.norm_num_groups, dtype=cfg.dtype,
-                          name="norm_out")(x, z)
+                          streaming=self.streaming, name="norm_out")(x, z)
         x = jax.nn.silu(x)
         x = CausalConv3d(cfg.out_channels, (3, 3, 3), dtype=cfg.dtype,
-                         name="conv_out")(x)
+                         streaming=self.streaming, name="conv_out")(x)
         return x
 
 
@@ -364,12 +399,17 @@ class DiagonalGaussian:
 
 class AutoencoderKLCogVideoX(nn.Module):
     """Full VAE (reference vae_cogvideox.py:925-1310). Public API is channel-first
-    (B, C, T, H, W) like the reference."""
+    (B, C, T, H, W) like the reference. With `streaming=True`, apply with
+    `mutable=["cache"]` and thread the returned cache collection between
+    chunks (see VideoAutoencoderKLCogVideoX.encode/decode)."""
     cfg: CogVAEConfig
+    streaming: bool = False
 
     def setup(self):
-        self.encoder = CogVideoXEncoder3D(self.cfg, name="encoder")
-        self.decoder = CogVideoXDecoder3D(self.cfg, name="decoder")
+        self.encoder = CogVideoXEncoder3D(self.cfg, streaming=self.streaming,
+                                          name="encoder")
+        self.decoder = CogVideoXDecoder3D(self.cfg, streaming=self.streaming,
+                                          name="decoder")
 
     def encode_moments(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, C, T, H, W) -> moments (B, 2*latent, T', H', W')."""
@@ -420,7 +460,9 @@ class VideoAutoencoderKLCogVideoX:
                  tiling: Optional[dict] = None):
         self.cfg = cfg or CogVAEConfig()
         self.module = AutoencoderKLCogVideoX(self.cfg)
+        self.module_streaming = AutoencoderKLCogVideoX(self.cfg, streaming=True)
         self.out_channels = self.cfg.latent_channels
+        self._scaling_override = scaling_factor
         self.scaling_factor = (scaling_factor if scaling_factor is not None
                                else self.cfg.scaling_factor)
         self.micro_frame_size = micro_frame_size
@@ -436,6 +478,38 @@ class VideoAutoencoderKLCogVideoX:
         self.params = self.module.init(rng, x)
         return self.params
 
+    def load_pretrained(self, path: Optional[str] = None,
+                        subfolder: Optional[str] = None):
+        """Load a LOCAL diffusers-format CogVideoX-VAE checkpoint (the reference
+        consumes `from_pretrained` via AutoencoderKLCogVideoX.from_pretrained,
+        vae_cogvideox.py:1326-1331). Rebuilds cfg from the snapshot's
+        config.json, converts the torch state dict through the generic
+        utils/ckpt machinery, and installs the params."""
+        from ...utils.ckpt import convert_torch_state_dict, resolve_pretrained_dir
+        path = path or self.from_pretrained
+        if not path:
+            raise ValueError("no pretrained path: set from_pretrained=")
+        cfg_json, sd = resolve_pretrained_dir(path, subfolder or self.subfolder)
+        if cfg_json:
+            keep = {f.name for f in dataclasses.fields(CogVAEConfig)}
+            updates = {k: (tuple(v) if isinstance(v, list) else v)
+                       for k, v in cfg_json.items() if k in keep}
+            self.cfg = dataclasses.replace(self.cfg, **updates)
+            self.module = AutoencoderKLCogVideoX(self.cfg)
+            self.module_streaming = AutoencoderKLCogVideoX(self.cfg,
+                                                           streaming=True)
+            self.out_channels = self.cfg.latent_channels
+            self.patch_size = (self.cfg.temporal_compression_ratio, 8, 8)
+            if self._scaling_override is None:
+                self.scaling_factor = self.cfg.scaling_factor
+        abstract = jax.eval_shape(
+            lambda k: self.module.init(
+                k, jnp.zeros((1, self.cfg.in_channels, 1, 32, 32), self.cfg.dtype)),
+            jax.random.PRNGKey(0))
+        self.params = jax.tree.map(jnp.asarray,
+                                   convert_torch_state_dict(sd, abstract))
+        return self.params
+
     # ---- encode ----
 
     def _encode_chunk(self, params, x, rng, sample: bool = True):
@@ -444,37 +518,118 @@ class VideoAutoencoderKLCogVideoX:
         z = dist.sample(rng) if sample else dist.mode()
         return z * self.scaling_factor
 
+    def _stream_moments(self, params, x, cache):
+        """One streaming encoder chunk; returns (moments, new conv caches)."""
+        variables = dict(params) if cache is None else {**params, "cache": cache}
+        moments, mut = self.module_streaming.apply(
+            variables, x, method=self.module_streaming.encode_moments,
+            mutable=["cache"])
+        return moments, mut["cache"]
+
     def encode(self, x: jnp.ndarray, rng: Optional[jax.Array] = None,
                params=None, sample: bool = True) -> jnp.ndarray:
-        """x: (B, C, T, H, W) -> scaled latents. Matches reference _encode chunking
-        (vae_cogvideox.py:1347-1374): 8n+1 inputs put the extra frame with the first
-        chunk; causal conv caches make chunked == full-sequence, so we chunk only to
-        bound memory."""
+        """x: (B, C, T, H, W) -> scaled latents.
+
+        Matches the reference's `_encode` chunking (vae_cogvideox.py:1347-1374):
+        when `micro_frame_size` is set and T exceeds it, frames stream through
+        the encoder in micro-chunks (8n+1 inputs put the extra frame with the
+        first chunk) with causal-conv caches carried across chunks, bounding
+        activation memory to one chunk. Uniform chunks after the first run
+        under `lax.scan` (one compiled chunk program, not an unrolled loop)."""
         params = params if params is not None else self.params
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mfs = self.micro_frame_size
         T = x.shape[2]
         if mfs is None or T <= mfs + 1:
             return self._encode_chunk(params, x, rng, sample)
-        # full-sequence == chunked (see module docstring); single fused call
-        return self._encode_chunk(params, x, rng, sample)
+        if not (T % mfs == 0 or (T - 1) % mfs == 0):
+            raise ValueError(f"T={T} incompatible with micro_frame_size={mfs}")
+        first_len = mfs + 1 if (T - 1) % mfs == 0 else mfs
+
+        def chunk_z(moments, key):
+            dist = DiagonalGaussian(moments, axis=1)
+            z = dist.sample(key) if sample else dist.mode()
+            return z * self.scaling_factor
+
+        rng, k0 = jax.random.split(rng)
+        m0, cache = self._stream_moments(params, x[:, :, :first_len], None)
+        z0 = chunk_z(m0, k0)
+        rest = x[:, :, first_len:]
+        B, C = x.shape[:2]
+        H, W = x.shape[3:]
+        n = rest.shape[2] // mfs
+        xr = jnp.moveaxis(rest.reshape(B, C, n, mfs, H, W), 2, 0)
+
+        def body(carry, xc):
+            cache, key = carry
+            moments, cache = self._stream_moments(params, xc, cache)
+            key, sub = jax.random.split(key)
+            return (cache, key), chunk_z(moments, sub)
+
+        (_, _), zs = jax.lax.scan(body, (cache, rng), xr)
+        # (n, B, Cl, t', H', W') -> time-concat after the first chunk
+        zs = jnp.moveaxis(zs, 0, 3)
+        zs = zs.reshape(z0.shape[0], z0.shape[1], -1, *z0.shape[3:])
+        return jnp.concatenate([z0, zs], axis=2)
 
     # ---- decode ----
 
-    def decode(self, z: jnp.ndarray, params=None, **kwargs) -> jnp.ndarray:
+    # reference num_latent_frames_batch_size (vae_cogvideox.py:1040): the module
+    # decoder always streams 2 latent frames at a time with conv caches
+    num_latent_frames_batch_size = 2
+
+    def _stream_decode(self, params, z, cache):
+        variables = dict(params) if cache is None else {**params, "cache": cache}
+        out, mut = self.module_streaming.apply(
+            variables, z, method=self.module_streaming.decode, mutable=["cache"])
+        return out, mut["cache"]
+
+    def decode(self, z: jnp.ndarray, params=None, frame_batching: bool = True,
+               **kwargs) -> jnp.ndarray:
+        """z: (B, latent, T', H', W') -> pixels. Mirrors the reference module's
+        `_decode` (vae_cogvideox.py:1147-1165): latent frames stream through the
+        decoder 2 at a time (first chunk takes the T'%2 remainder) with
+        causal-conv caches carried, bounding decoder activations to one chunk.
+        `frame_batching=False` forces the single full-sequence call."""
         params = params if params is not None else self.params
         if self.tiling:
-            return self.tiled_decode(z, params=params, **self.tiling)
-        return self.module.apply(params, z / self.scaling_factor,
-                                 method=self.module.decode)
+            return self.tiled_decode(z, params=params,
+                                     frame_batching=frame_batching, **self.tiling)
+        return self._decode_frames(params, z, frame_batching)
+
+    def _decode_frames(self, params, z, frame_batching: bool = True):
+        fbs = self.num_latent_frames_batch_size
+        T = z.shape[2]
+        if not frame_batching or T <= fbs + 1:
+            return self.module.apply(params, z / self.scaling_factor,
+                                     method=self.module.decode)
+        first_len = fbs + T % fbs
+        out0, cache = self._stream_decode(
+            params, z[:, :, :first_len] / self.scaling_factor, None)
+        rest = z[:, :, first_len:] / self.scaling_factor
+        B, C = z.shape[:2]
+        H, W = z.shape[3:]
+        n = rest.shape[2] // fbs
+        zr = jnp.moveaxis(rest.reshape(B, C, n, fbs, H, W), 2, 0)
+
+        def body(cache, zc):
+            out, cache = self._stream_decode(params, zc, cache)
+            return cache, out
+
+        _, outs = jax.lax.scan(body, cache, zr)
+        outs = jnp.moveaxis(outs, 0, 3)
+        outs = outs.reshape(out0.shape[0], out0.shape[1], -1, *out0.shape[3:])
+        return jnp.concatenate([out0, outs], axis=2)
 
     def tiled_decode(self, z: jnp.ndarray, params=None,
                      tile_sample_min_height: int = 240,
                      tile_sample_min_width: int = 360,
                      tile_overlap_factor_height: float = 1 / 6,
-                     tile_overlap_factor_width: float = 1 / 5) -> jnp.ndarray:
+                     tile_overlap_factor_width: float = 1 / 5,
+                     frame_batching: bool = True) -> jnp.ndarray:
         """Spatially tiled decode with overlap blending (reference tiled_decode,
-        vae_cogvideox.py:1214-1292)."""
+        vae_cogvideox.py:1214-1292); each tile streams latent frames 2 at a
+        time like the reference (:1255-1270)."""
         params = params if params is not None else self.params
         spatial = 2 ** (len(self.cfg.block_out_channels) - 1)
         tile_lat_h = int(tile_sample_min_height / spatial)
@@ -492,9 +647,7 @@ class VideoAutoencoderKLCogVideoX:
             row = []
             for j in range(0, W, overlap_w):
                 tile = z[:, :, :, i:i + tile_lat_h, j:j + tile_lat_w]
-                dec = self.module.apply(params, tile / self.scaling_factor,
-                                        method=self.module.decode)
-                row.append(dec)
+                row.append(self._decode_frames(params, tile, frame_batching))
             rows.append(row)
         result_rows = []
         for i, row in enumerate(rows):

@@ -54,7 +54,7 @@ class MagicDrivePipeline:
         vae_cfg = CogVAEConfig(dtype=dtype)
         vae_dict = dict(cfg.get("vae", {}))
         vae_dict.pop("type", None)
-        for k in ("from_pretrained", "subfolder", "cache_dir", "local_files_only"):
+        for k in ("cache_dir", "local_files_only"):
             vae_dict.pop(k, None)
         # vae_tiling=N (reference --vae_tiling 384): tiled decode with N-pixel tiles
         tiling_px = cfg.get("vae_tiling")
@@ -62,6 +62,21 @@ class MagicDrivePipeline:
             vae_dict["tiling"] = dict(tile_sample_min_height=int(tiling_px),
                                       tile_sample_min_width=int(tiling_px))
         vae = VideoAutoencoderKLCogVideoX(vae_cfg, **vae_dict)
+        # honor from_pretrained (reference vae_cogvideox.py:1326-1331): a local
+        # diffusers snapshot dir loads real CogVideoX-VAE weights; anything else
+        # falls back to random init with a LOUD warning — decoded pixels are
+        # meaningless until real weights are provided.
+        if vae.from_pretrained:
+            try:
+                vae.load_pretrained()
+                logging.info("VAE: loaded pretrained weights from %s",
+                             vae.from_pretrained)
+            except (FileNotFoundError, ValueError) as e:
+                logging.warning(
+                    "VAE pretrained weights unavailable (%s) — USING RANDOM "
+                    "INIT; decoded videos will be noise. Download the "
+                    "CogVideoX VAE snapshot and point vae.from_pretrained at "
+                    "the local directory.", e)
 
         model_cfg = build_model_config(
             cfg.model, vae_out_channels=cfg.get("vae_out_channels", 16),

@@ -37,7 +37,8 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["flax_path_to_torch_key", "convert_torch_state_dict",
            "export_torch_state_dict", "save_checkpoint", "load_checkpoint",
-           "find_latest", "save_rng_state", "load_rng_state", "load_torch_file"]
+           "find_latest", "save_rng_state", "load_rng_state", "load_torch_file",
+           "resolve_pretrained_dir"]
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +252,43 @@ def export_torch_state_dict(params: Any, control_depth: int = 13
                 out[key.format(i=base + i)] = _from_flax_layout(
                     arr[i], _leaf_kind(key, arr[i]))
     return out
+
+
+def resolve_pretrained_dir(path: str, subfolder: Optional[str] = None
+                           ) -> Tuple[Optional[dict], Dict[str, np.ndarray]]:
+    """Locate a LOCAL diffusers-format checkpoint (reference loads the CogVideoX
+    VAE with AutoencoderKLCogVideoX.from_pretrained, vae_cogvideox.py:1326-1331).
+
+    Accepts a directory (optionally with `subfolder`, e.g. "vae") containing
+    `config.json` + `diffusion_pytorch_model.{safetensors,bin}`, or a direct
+    weights file. Returns (config dict or None, numpy state dict). Hub repo ids
+    are not fetchable in this offline build — pass a downloaded snapshot dir.
+    """
+    if os.path.isfile(path):
+        return None, load_torch_file(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"pretrained path {path!r} is not a local file/dir (hub download is "
+            "unavailable offline; pass a snapshot directory)")
+    d = path
+    if subfolder and os.path.isdir(os.path.join(d, subfolder)):
+        d = os.path.join(d, subfolder)
+    cfg = None
+    cfg_path = os.path.join(d, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    for name in ("diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin", "model.safetensors",
+                 "pytorch_model.bin"):
+        p = os.path.join(d, name)
+        if os.path.isfile(p):
+            return cfg, load_torch_file(p)
+    cands = [f for f in sorted(os.listdir(d))
+             if f.endswith((".safetensors", ".bin", ".pt", ".pth"))]
+    if not cands:
+        raise FileNotFoundError(f"no weights file under {d!r}")
+    return cfg, load_torch_file(os.path.join(d, cands[0]))
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:

@@ -139,10 +139,21 @@ def main():
         from magicdrive_v2_tpu.registry import MODELS
 
         vae_dict = dict(cfg.get("vae", {}))
-        for k in ("type", "from_pretrained", "subfolder"):
-            vae_dict.pop(k, None)
+        vae_dict.pop("type", None)
         vae = VideoAutoencoderKLCogVideoX(CogVAEConfig(dtype=dtype), **vae_dict)
-        vae.init(jax.random.PRNGKey(0))
+        # reference builds the VAE from the pretrained diffusers snapshot
+        # (vae_cogvideox.py:1326-1331); fall back to random init loudly.
+        if vae.from_pretrained:
+            try:
+                vae.load_pretrained()
+                logger.info("VAE: loaded pretrained weights from %s",
+                            vae.from_pretrained)
+            except (FileNotFoundError, ValueError) as e:
+                logger.warning(
+                    "VAE pretrained weights unavailable (%s) — USING RANDOM "
+                    "INIT; training latents are not CogVideoX latents.", e)
+        if vae.params is None:
+            vae.init(jax.random.PRNGKey(0))
         te_cfg = dict(cfg.get("text_encoder", {"type": "t5-dummy"}))
         te_kind = te_cfg.pop("type", "t5-dummy")
         try:

@@ -103,18 +103,38 @@ def _install_stubs():
     mod("ftfy", fix_text=lambda s: s)
     mod("bs4", BeautifulSoup=None)
 
-    # diffusers (the reference vendors CogVideoX VAE; we only need import to succeed)
+    # diffusers: FUNCTIONAL stubs — the reference vendors the CogVideoX VAE and
+    # we run its forward for weight-conversion parity (tests/test_vae_parity.py),
+    # so the pieces it imports from diffusers must behave like the real ones
+    # (diffusers 0.30 semantics, which the vendored file targets).
+    import functools
+    import inspect
+
+    import torch as _torch
+    import torch.nn.functional as _F
+
     class _Passthrough:
-        pass
+        def __init__(self, **kw):
+            for k, v in kw.items():
+                setattr(self, k, v)
 
     class _ConfigMixin:
-        pass
+        @property
+        def config(self):
+            return types.SimpleNamespace(**self._config_dict)
 
     class _FromOriginal:
         pass
 
     def _register_to_config(fn):
-        return fn
+        @functools.wraps(fn)
+        def wrapped(self, *args, **kwargs):
+            bound = inspect.signature(fn).bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+            object.__setattr__(self, "_config_dict", cfg)
+            return fn(self, *args, **kwargs)
+        return wrapped
 
     class _Logging:
         @staticmethod
@@ -122,9 +142,89 @@ def _install_stubs():
             import logging as _l
             return _l.getLogger("stub")
 
+    class _DiagonalGaussian:
+        def __init__(self, parameters, deterministic=False):
+            self.parameters = parameters
+            self.mean, self.logvar = _torch.chunk(parameters, 2, dim=1)
+            self.logvar = _torch.clamp(self.logvar, -30.0, 20.0)
+            self.std = _torch.exp(0.5 * self.logvar)
+
+        def mode(self):
+            return self.mean
+
+        def sample(self, generator=None):
+            noise = _torch.randn(self.mean.shape, generator=generator,
+                                 dtype=self.mean.dtype)
+            return self.mean + self.std * noise
+
     class _CogDown(tnn.Module):
-        def __init__(self, *a, **k):
+        """diffusers CogVideoXDownsample3D: optional temporal avg-pool-2 with
+        first-frame passthrough when T is odd, then (0,1,0,1) pad + stride-2
+        conv per frame."""
+
+        def __init__(self, in_channels, out_channels, kernel_size=3, stride=2,
+                     padding=0, compress_time=False):
             super().__init__()
+            self.conv = tnn.Conv2d(in_channels, out_channels, kernel_size,
+                                   stride, padding)
+            self.compress_time = compress_time
+
+        def forward(self, x):
+            if self.compress_time:
+                b, c, t, h, w = x.shape
+                x = x.permute(0, 3, 4, 1, 2).reshape(b * h * w, c, t)
+                if x.shape[-1] % 2 == 1:
+                    x_first, x_rest = x[..., 0], x[..., 1:]
+                    if x_rest.shape[-1] > 0:
+                        x_rest = _F.avg_pool1d(x_rest, kernel_size=2, stride=2)
+                    x = _torch.cat([x_first[..., None], x_rest], dim=-1)
+                else:
+                    x = _F.avg_pool1d(x, kernel_size=2, stride=2)
+                x = x.reshape(b, h, w, c, x.shape[-1]).permute(0, 3, 4, 1, 2)
+            x = _F.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+            b, c, t, h, w = x.shape
+            x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            x = self.conv(x)
+            x = x.reshape(b, t, x.shape[1], x.shape[2], x.shape[3])
+            return x.permute(0, 2, 1, 3, 4)
+
+    class _CogUp(tnn.Module):
+        """diffusers CogVideoXUpsample3D: nearest 2x upsample (3D when
+        compress_time with first-frame split on odd T, else per-frame 2D),
+        then 3x3 conv per frame."""
+
+        def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                     padding=1, compress_time=False):
+            super().__init__()
+            self.conv = tnn.Conv2d(in_channels, out_channels, kernel_size,
+                                   stride, padding)
+            self.compress_time = compress_time
+
+        def forward(self, inputs):
+            if self.compress_time:
+                if inputs.shape[2] > 1 and inputs.shape[2] % 2 == 1:
+                    x_first, x_rest = inputs[:, :, 0], inputs[:, :, 1:]
+                    x_first = _F.interpolate(x_first, scale_factor=2.0)
+                    x_rest = _F.interpolate(x_rest, scale_factor=2.0)
+                    inputs = _torch.cat([x_first[:, :, None], x_rest], dim=2)
+                elif inputs.shape[2] > 1:
+                    inputs = _F.interpolate(inputs, scale_factor=2.0)
+                else:
+                    inputs = inputs.squeeze(2)
+                    inputs = _F.interpolate(inputs, scale_factor=2.0)
+                    inputs = inputs[:, :, None]
+            else:
+                b, c, t, h, w = inputs.shape
+                inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+                inputs = _F.interpolate(inputs, scale_factor=2.0)
+                inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(
+                    0, 2, 1, 3, 4)
+            b, c, t, h, w = inputs.shape
+            inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            inputs = self.conv(inputs)
+            inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(
+                0, 2, 1, 3, 4)
+            return inputs
 
     mod("diffusers")
     mod("diffusers.configuration_utils", ConfigMixin=_ConfigMixin,
@@ -135,11 +235,11 @@ def _install_stubs():
     mod("diffusers.models.activations", get_activation=lambda name: tnn.SiLU())
     mod("diffusers.models.autoencoders")
     mod("diffusers.models.autoencoders.vae", DecoderOutput=_Passthrough,
-        DiagonalGaussianDistribution=_Passthrough)
+        DiagonalGaussianDistribution=_DiagonalGaussian)
     mod("diffusers.models.downsampling", CogVideoXDownsample3D=_CogDown)
     mod("diffusers.models.modeling_outputs", AutoencoderKLOutput=_Passthrough)
     mod("diffusers.models.modeling_utils", ModelMixin=tnn.Module)
-    mod("diffusers.models.upsampling", CogVideoXUpsample3D=_CogDown)
+    mod("diffusers.models.upsampling", CogVideoXUpsample3D=_CogUp)
     mod("diffusers.utils", logging=_Logging())
     mod("diffusers.utils.accelerate_utils", apply_forward_hook=lambda f: f)
     # force the plain matmul-softmax attention path: pretend CUDA exists at import
