@@ -379,6 +379,12 @@ def main(argv=None):
                         "also a synthetic scene")
     p.add_argument("--segformer-path", default=None,
                    help="local SegFormer weights for the real segmenter")
+    p.add_argument("--smpl-path", default=None,
+                   help="SMPL model pickle (basicModel_*_lbs_10_207_0_v1.0.0.pkl"
+                        " from prepare_checkpoints.py) for the real body model")
+    p.add_argument("--hmr2-checkpoint", default=None,
+                   help="HMR2 checkpoint for the real fitter (needs the hmr2 "
+                        "package)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -392,13 +398,20 @@ def main(argv=None):
             logger.info("synthetic scene: %d rendered image+mask pairs -> %s",
                         n, args.save_root)
             return n
+    elif args.smpl_path:
+        # real SMPL body (reference hmr2_model.smpl, pedestrian_processor.py:49+)
+        # + HMR2 fitter when a checkpoint is given, SegFormer when weights given
+        from magicdrive_v2_tpu.pedestrian.smpl import make_real_processor
+        processor = make_real_processor(
+            args.smpl_path, segformer_path=args.segformer_path,
+            hmr2_checkpoint=args.hmr2_checkpoint)
     else:
         if not args.segformer_path:
             raise SystemExit(
-                "real backends need --segformer-path (SegFormer weights) and an "
-                "HMR2-compatible fitter; run with --synthetic-backends to "
+                "real backends need --segformer-path (SegFormer weights) and "
+                "--smpl-path (SMPL pickle); run with --synthetic-backends to "
                 "exercise the pipeline without them")
-        body = SyntheticBody()  # placeholder body until an SMPL npz is provided
+        body = SyntheticBody()  # placeholder body until an SMPL pkl is provided
         processor = PedestrianProcessor(
             segmenter=SegformerSegmenter(args.segformer_path),
             fitter=SyntheticSmplFitter(body), body=body)
