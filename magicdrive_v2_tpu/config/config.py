@@ -92,16 +92,28 @@ class Config(dict):
 
     @classmethod
     def fromfile(cls, path: str) -> "Config":
+        """Load a python/yaml config. Python configs support mmengine-style
+        ``_base_`` inheritance (reference configs use it throughout): base
+        file(s) load first and the child's values deep-merge over them (nested
+        dicts merge key-wise; everything else replaces)."""
         path = os.path.abspath(path)
         if path.endswith((".yaml", ".yml")):
             from .yaml_compose import load_yaml_config
             return cls(load_yaml_config(path))
         ns = runpy.run_path(path)
         cfg = cls()
+        bases = ns.get("_base_")
+        if bases:
+            if isinstance(bases, str):
+                bases = [bases]
+            for b in bases:
+                cfg.merge(cls.fromfile(os.path.join(os.path.dirname(path), b)))
+        child = cls()
         for k, v in ns.items():
             if k.startswith("_") or callable(v) or isinstance(v, type(os)):
                 continue
-            cfg[k] = v
+            child[k] = v
+        cfg.merge(child)
         cfg["config_path"] = path
         return cfg
 

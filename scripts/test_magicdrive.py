@@ -1,16 +1,24 @@
 """W-CODA2024 Track2 benchmark generation app (reference scripts/test_magicdrive.py,
-552 LoC; SURVEY.md §2.11).
+552 LoC, test_magicdrive_brushnet.py 669 LoC, test_magicdrive_sde_brushnet.py
+672 LoC; SURVEY.md §2.11).
 
 Like inference_magicdrive.py, plus the benchmark submission plumbing:
 - back-transform each generated view to the original nuScenes resolution
   (bicubic resize + pad, reference test_magicdrive.py:256-266; e.g. 424x800 ->
-  848x1600 + pad 52 top -> 900x1600);
+  848x1600 + pad 52 top -> 900x1600), then cut to `post.cut_length` frames;
 - save_mode in {single-view, all-in-one, image_filename} (reference :135-136);
-- use_map0: CFG against a zeroed map instead of learned null (reference use_map0).
+- use_map0: CFG against a zeroed map instead of learned null (reference use_map0);
+- --brushnet / --sde (or a *-BrushNet model type in the config): drive the
+  inpainting variants with pedestrian 2x3-grid videos+masks from the SMPL
+  pipeline (reference test_magicdrive_brushnet.py:440-530 loads
+  <dir>/<idx>/videos.mp4 + masks.mp4, splits the 2-row x 3-col camera grid,
+  and feeds z_inpaint/mask_inpaint to the brushnet scheduler; the SDE app adds
+  the fixed t_inpaint = inpaint_noise_scale * num_timesteps).
 
 Usage:
-  python scripts/test_magicdrive.py configs/magicdrive/inference/XXX.py \
-      [--synthetic] [--save-mode single-view] [--num-frames 9]
+  python scripts/test_magicdrive.py configs/magicdrive/test/XXX.py \
+      [--synthetic] [--save-mode single-view] [--num-frames 9] \
+      [--brushnet | --sde] [--ped-video-dir DIR]
 """
 from __future__ import annotations
 
@@ -44,6 +52,30 @@ def back_transform(vid: np.ndarray, resize_hw, padding) -> np.ndarray:
     return out
 
 
+def load_grid_video(path: str, num_frames: int, height: int, width: int,
+                    grayscale: bool = False) -> np.ndarray:
+    """Load a 2-row x 3-col camera-grid mp4 (the pedestrian pipeline's
+    create_video_12hz layout) into per-view (NC, C, T, H, W) in [-1, 1]
+    (masks: [0, 1]). View order = row-major = [FL, F, FR, BR, B, BL], matching
+    concat_6_views (reference test_magicdrive_brushnet.py:440-476)."""
+    import imageio
+    frames = imageio.mimread(path, memtest=False)[:num_frames]
+    c = 1 if grayscale else 3
+    out = np.zeros((6, c, num_frames, height, width), np.float32)
+    for ti, f in enumerate(frames):
+        f = np.asarray(f)
+        if f.ndim == 2:
+            f = f[..., None]
+        for vi in range(6):
+            r, col = divmod(vi, 3)
+            tile = f[r * height:(r + 1) * height, col * width:(col + 1) * width]
+            if grayscale:
+                out[vi, 0, ti] = tile[..., 0] > 127
+            else:
+                out[vi, :, ti] = np.transpose(tile[..., :3] / 127.5 - 1, (2, 0, 1))
+    return out
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("config")
@@ -54,6 +86,15 @@ def parse_args():
     p.add_argument("--save-mode", default=None,
                    choices=["single-view", "all-in-one", "image_filename"])
     p.add_argument("--ckpt-path", default=None)
+    p.add_argument("--brushnet", action="store_true",
+                   help="BrushNet inpainting variant (reference "
+                        "test_magicdrive_brushnet.py)")
+    p.add_argument("--sde", action="store_true",
+                   help="SDE-BrushNet variant (reference "
+                        "test_magicdrive_sde_brushnet.py)")
+    p.add_argument("--ped-video-dir", default=None,
+                   help="dir with <idx>/videos.mp4 + <idx>/masks.mp4 grids")
+    p.add_argument("--inpaint-noise-scale", type=float, default=None)
     return p.parse_args()
 
 
@@ -73,9 +114,16 @@ def main():
 
     cfg = Config.fromfile(args.config)
     merge_dot_options(cfg, args.cfg_options)
+    model_type = str(cfg.model.get("type", ""))
+    if args.sde and "SDE" not in model_type:
+        cfg.model["type"] = model_type = "MagicDriveSTDiT3-XL/2-SDEBrushNet"
+    elif args.brushnet and "BrushNet" not in model_type:
+        cfg.model["type"] = model_type = "MagicDriveSTDiT3-XL/2-BrushNet"
+    inpaint = "BrushNet" in model_type
     save_mode = args.save_mode or cfg.get("save_mode", "single-view")
     use_back_trans = cfg.get("use_back_trans", True)
     post = cfg.get("post", Config(resize=(448, 800), padding=(0, 2, 0, 0)))
+    cut_length = post.get("cut_length", None) if hasattr(post, "get") else None
 
     num_frames = args.num_frames or (17 if cfg.get("num_frames") == "full"
                                      else cfg.get("num_frames", 17))
@@ -122,15 +170,48 @@ def main():
     guidance = cfg.scheduler.get("cfg_scale", 2.0)
     view_names = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
                   "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"]
+    nc = pipe.model.cfg.nc
+    noise_scale = (args.inpaint_noise_scale
+                   if args.inpaint_noise_scale is not None
+                   else cfg.scheduler.get("inpaint_noise_scale", 0.2))
     for ns, _idx in enumerate(indices):
         batch, names = get_batch(ns)
         batch.pop("height", None), batch.pop("width", None)
+        if inpaint:
+            b = 1
+            if args.ped_video_dir:
+                # 2x3-grid videos.mp4 + masks.mp4 per sample index (reference
+                # test_magicdrive_brushnet.py:440-493)
+                vdir = os.path.join(args.ped_video_dir, str(_idx))
+                imgs = load_grid_video(os.path.join(vdir, "videos.mp4"),
+                                       num_frames, height, width)
+                masks = load_grid_video(os.path.join(vdir, "masks.mp4"),
+                                        num_frames, height, width, grayscale=True)
+                batch["x_inpaint"] = jnp.asarray(
+                    imgs.transpose(1, 0, 2, 3, 4).reshape(
+                        b, 3 * nc, num_frames, height, width))
+                batch["mask_inpaint"] = jnp.asarray(
+                    masks.reshape(b, nc, num_frames, height, width))
+            else:
+                rng_np = np.random.default_rng(ns)
+                batch["x_inpaint"] = jnp.asarray(rng_np.standard_normal(
+                    (b, 3 * nc, num_frames, height, width)).astype(np.float32))
+                batch["mask_inpaint"] = jnp.asarray(rng_np.integers(
+                    0, 2, (b, nc, num_frames, height, width)).astype(np.float32))
+            if getattr(pipe.model.cfg, "sde_inpaint", False):
+                batch["t_inpaint"] = jnp.full(
+                    (b,), noise_scale * pipe.scheduler.num_timesteps)
+                batch["rngs_key"] = jax.random.PRNGKey(1024 + ns)
         rng = jax.random.PRNGKey(1024 + ns)
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
                            guidance_scale=guidance, rng=rng,
                            torch_seed=1024 + ns)  # reference seed contract
         for bi in range(vids.shape[0]):
             sample = vids[bi]  # (NC, 3, T, H, W)
+            if cut_length:
+                # cut to the benchmark's standard length (reference
+                # test_magicdrive_brushnet.py:553 "cut to standard length")
+                sample = sample[:, :, :int(cut_length)]
             if use_back_trans:
                 sample = np.stack([back_transform(v, tuple(post.resize),
                                                   tuple(post.padding))
