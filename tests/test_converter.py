@@ -175,16 +175,30 @@ def test_sweep_images_and_pose(infos):
 
 
 def test_box_interpolation_values(infos):
-    """Car moves 10 -> 12 in x over the keyframe gap; interpolated gt follows
-    linearly in the LIDAR frame (ego also moves, so lidar-frame x interpolates
-    between (10 - 0 - 0.9) and (12 - 1 - 0.9) ... via the frame's own pose)."""
+    """Car moves 10 -> 12 in GLOBAL x over the keyframe gap; interpolation
+    happens in the global frame and transforms into the mid frame through its
+    ACTUAL (sweep) ego pose — here with the 0.1 rad yaw drift — not through a
+    linearly-interpolated local frame (advisor r2 finding: local interpolation
+    misaligns gt with the sweep images when ego motion is non-linear)."""
     tr = infos["train"]["infos"]
     ids0 = tr[0]["gt_box_ids"]
     car0 = tr[0]["gt_boxes"][ids0.index("inst_car")]
     ids6 = tr[6]["gt_box_ids"]
     car6 = tr[6]["gt_boxes"][ids6.index("inst_car")]
-    mid = tr[3]["gt_boxes"][tr[3]["gt_box_ids"].index("inst_car")]
-    np.testing.assert_allclose(mid, (car0 + car6) / 2, atol=1e-6)
+    info = tr[3]
+    mid = info["gt_boxes"][info["gt_box_ids"].index("inst_car")]
+
+    # expected: global lerp center [11, 2, 1] through the frame's real pose
+    e2g_r = nc.quat_to_rot(info["ego2global_rotation"])
+    e2g_t = np.asarray(info["ego2global_translation"])
+    l2g_t = e2g_r @ np.array([0.9, 0.0, 1.8]) + e2g_t  # lidar2ego rot = I
+    c = e2g_r.T @ (np.array([11.0, 2.0, 1.0]) - l2g_t)
+    yaw_l = nc.rot_yaw(e2g_r.T)  # global car yaw 0 seen under ego yaw 0.1
+    want = [c[0], c[1], c[2] - 0.8, 2.0, 4.5, 1.6,
+            -yaw_l - np.pi / 2, 0.0, 0.0]
+    np.testing.assert_allclose(mid, want, atol=1e-9)
+    # and it is NOT the lidar-local lerp (the pre-fix behavior)
+    assert np.abs(mid - (car0 + car6) / 2).max() > 1e-3
     # sizes identical; z_bottom = (z_global - lidar_height) - h/2
     assert abs(car0[5] - 1.6) < 1e-9 and abs(car0[2] - (1.0 - 1.8 - 0.8)) < 1e-9
     # velocity survives into the schema

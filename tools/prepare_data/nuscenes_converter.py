@@ -124,49 +124,97 @@ def _cam_info(nusc, cam_token: str, lidar_cs, lidar_pose) -> Dict:
     )
 
 
-def _boxes_at(nusc, sample, name_map) -> Dict:
-    """Keyframe annotations in the lidar frame (reference
-    _sample_data_transform, :355-410: SECOND box convention)."""
-    sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
-    cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
-    pose = nusc.get("ego_pose", sd["ego_pose_token"])
-    e2g_r = quat_to_rot(pose["rotation"])
-    e2g_t = np.asarray(pose["translation"], np.float64)
-    l2e_r = quat_to_rot(cs["rotation"])
-    l2e_t = np.asarray(cs["translation"], np.float64)
-    l2g_r = e2g_r @ l2e_r
-
-    boxes, names, ids, npts, nrad, vis, vels = [], [], [], [], [], [], []
+def _global_boxes_at(nusc, sample, name_map) -> Dict:
+    """Keyframe annotations in the GLOBAL frame (raw sample_annotation
+    records). Interpolation happens here — NOT in lidar-local coordinates —
+    because non-keyframes use the REAL camera-sweep ego pose: when actual ego
+    motion deviates from a linear pose interpolation (turns, braking),
+    locally-interpolated boxes would be misaligned with the sweep images.
+    This mirrors the reference/ASAP pipeline, which interpolates annotations
+    globally and transforms via the actual pose."""
+    centers, quats, sizes = [], [], []
+    names, ids, npts, nrad, vis, vels = [], [], [], [], [], []
     for ann_token in sample["anns"]:
         ann = nusc.get("sample_annotation", ann_token)
         name = name_map.get(ann["category_name"])
         if name is None:
             continue
-        # global -> lidar
-        c_g = np.asarray(ann["translation"], np.float64)
-        c_l = l2g_r.T @ (c_g - (e2g_r @ l2e_t + e2g_t))
-        rot_l = l2g_r.T @ quat_to_rot(ann["rotation"])
-        yaw = rot_yaw(rot_l)
-        w, l, h = ann["size"]
-        boxes.append([c_l[0], c_l[1], c_l[2] - h / 2, w, l, h,
-                      -yaw - np.pi / 2, 0.0, 0.0])
+        centers.append(np.asarray(ann["translation"], np.float64))
+        quats.append(np.asarray(ann["rotation"], np.float64))
+        sizes.append(np.asarray(ann["size"], np.float64))  # w, l, h
         names.append(name)
         ids.append(ann["instance_token"])
         npts.append(ann.get("num_lidar_pts", 0))
         nrad.append(ann.get("num_radar_pts", 0))
         vis.append(int(ann.get("visibility_token", 0) or 0))
-        # global-frame velocity -> lidar frame (reference :385-390)
         v = np.asarray(ann.get("velocity", [0.0, 0.0]), np.float64)
-        v3 = l2g_r.T @ np.array([v[0], v[1], 0.0])
-        vels.append(v3[:2])
+        vels.append(v[:2])
+    return dict(
+        center=np.asarray(centers, np.float64).reshape(-1, 3),
+        quat=np.asarray(quats, np.float64).reshape(-1, 4),
+        size=np.asarray(sizes, np.float64).reshape(-1, 3),
+        names=np.asarray(names), ids=ids,
+        vel=np.asarray(vels, np.float64).reshape(-1, 2),
+        npts=np.asarray(npts, np.int64), nrad=np.asarray(nrad, np.int64),
+        vis=np.asarray(vis, np.uint8))
+
+
+def _interp_global(g0: Dict, g1: Dict, t: float) -> Dict:
+    """Global-frame box interpolation matched by instance id: linear center /
+    size / velocity, slerp rotation — the role ASAP's interpolated annotation
+    tables play for the reference's interp_12Hz version."""
+    idx1 = {tok: i for i, tok in enumerate(g1["ids"])}
+    keep = [(i, idx1[tok]) for i, tok in enumerate(g0["ids"]) if tok in idx1]
+    centers, quats, sizes, names, ids = [], [], [], [], []
+    npts, nrad, vis, vels = [], [], [], []
+    for i, j in keep:
+        centers.append((1 - t) * g0["center"][i] + t * g1["center"][j])
+        quats.append(np.asarray(quat_slerp(g0["quat"][i], g1["quat"][j], t)))
+        sizes.append((1 - t) * g0["size"][i] + t * g1["size"][j])
+        names.append(g0["names"][i])
+        ids.append(g0["ids"][i])
+        npts.append(max(g0["npts"][i], g1["npts"][j]))
+        nrad.append(max(g0["nrad"][i], g1["nrad"][j]))
+        vis.append(g0["vis"][i])
+        vels.append((1 - t) * g0["vel"][i] + t * g1["vel"][j])
+    return dict(
+        center=np.asarray(centers, np.float64).reshape(-1, 3),
+        quat=np.asarray(quats, np.float64).reshape(-1, 4),
+        size=np.asarray(sizes, np.float64).reshape(-1, 3),
+        names=np.asarray(names), ids=ids,
+        vel=np.asarray(vels, np.float64).reshape(-1, 2),
+        npts=np.asarray(npts, np.int64), nrad=np.asarray(nrad, np.int64),
+        vis=np.asarray(vis, np.uint8))
+
+
+def _boxes_to_lidar(g: Dict, lidar_cs, frame_pose) -> Dict:
+    """Global-frame records -> the info dict's lidar-frame arrays using the
+    frame's ACTUAL pose (reference _sample_data_transform, :355-410: SECOND
+    box convention x, y, z_bottom, w, l, h, -yaw-pi/2)."""
+    e2g_r = quat_to_rot(frame_pose["rotation"])
+    e2g_t = np.asarray(frame_pose["translation"], np.float64)
+    l2e_r = quat_to_rot(lidar_cs["rotation"])
+    l2e_t = np.asarray(lidar_cs["translation"], np.float64)
+    l2g_r = e2g_r @ l2e_r
+    l2g_t = e2g_r @ l2e_t + e2g_t
+
+    boxes, vels = [], []
+    for i in range(len(g["ids"])):
+        c_l = l2g_r.T @ (g["center"][i] - l2g_t)
+        rot_l = l2g_r.T @ quat_to_rot(g["quat"][i])
+        yaw = rot_yaw(rot_l)
+        w, l, h = g["size"][i]
+        boxes.append([c_l[0], c_l[1], c_l[2] - h / 2, w, l, h,
+                      -yaw - np.pi / 2, 0.0, 0.0])
+        v = g["vel"][i]
+        vels.append((l2g_r.T @ np.array([v[0], v[1], 0.0]))[:2])
     return dict(
         gt_boxes=np.asarray(boxes, np.float64).reshape(-1, 9),
-        gt_names=np.asarray(names), gt_box_ids=ids,
+        gt_names=g["names"], gt_box_ids=list(g["ids"]),
         gt_velocity=np.asarray(vels, np.float64).reshape(-1, 2),
-        num_lidar_pts=np.asarray(npts, np.int64),
-        num_radar_pts=np.asarray(nrad, np.int64),
-        visibility=np.asarray(vis, np.uint8),
-        valid_flag=np.asarray([(a + b) > 0 for a, b in zip(npts, nrad)], bool))
+        num_lidar_pts=g["npts"], num_radar_pts=g["nrad"],
+        visibility=g["vis"],
+        valid_flag=np.asarray(g["npts"] + g["nrad"] > 0, bool))
 
 
 _EMPTY_BOXES = dict(
@@ -288,10 +336,10 @@ def build_infos(dataroot: str = None, version: str = "v1.0-trainval",
         scene_tok_list: List[str] = []
         n_interp = hz // 2  # 2 Hz keyframes -> hz output
         for ki, kf in enumerate(keyframes):
-            b_now = _EMPTY_BOXES if is_test else _boxes_at(nusc, kf, NAME_MAP)
+            b_now = None if is_test else _global_boxes_at(nusc, kf, NAME_MAP)
             kf_next = keyframes[ki + 1] if ki + 1 < len(keyframes) else None
             b_next = (None if (kf_next is None or is_test)
-                      else _boxes_at(nusc, kf_next, NAME_MAP))
+                      else _global_boxes_at(nusc, kf_next, NAME_MAP))
             steps = n_interp if kf_next else 1
             sweep_steps = (_cam_sweep_chains(nusc, kf, kf_next, steps)
                            if kf_next else [])
@@ -308,7 +356,7 @@ def build_infos(dataroot: str = None, version: str = "v1.0-trainval",
                 t = si / n_interp
                 if si == 0:
                     token = kf["token"]
-                    boxes = b_now
+                    g_boxes = b_now
                     frame_pose = lidar_pose
                     cam_tokens = {c: kf["data"][c] for c in CAM_NAMES
                                   if c in kf["data"]}
@@ -318,8 +366,8 @@ def build_infos(dataroot: str = None, version: str = "v1.0-trainval",
                     # reference token naming: non-keyframes associate with the
                     # NEXT keyframe, counted backward (:501-506)
                     token = f"{kf_next['token']};-{steps - si}"
-                    boxes = (_EMPTY_BOXES if is_test
-                             else _interp_boxes(b_now, b_next, t))
+                    g_boxes = (None if is_test
+                               else _interp_global(b_now, b_next, t))
                     sweeps = sweep_steps[si - 1]
                     if sweeps is not None:
                         cam_tokens = sweeps
@@ -343,6 +391,11 @@ def build_infos(dataroot: str = None, version: str = "v1.0-trainval",
                                  + t * kf_next["timestamp"])
                     key = False
 
+                # boxes go global -> lidar through the frame's ACTUAL pose
+                # (sweep ego pose when available), after interpolation in the
+                # global frame
+                boxes = (_EMPTY_BOXES if is_test
+                         else _boxes_to_lidar(g_boxes, lidar_cs, frame_pose))
                 cams = {name: _cam_info(nusc, tok, lidar_cs, frame_pose)
                         for name, tok in cam_tokens.items()}
                 # ego velocity from the neighbouring keyframe poses
