@@ -167,6 +167,55 @@ def train_step_metric():
     return out
 
 
+def fwd848_metric():
+    """Single-CFG forward latency + peak memory at 6x848x1600x17f — the
+    reference's headline high-resolution shape (BASELINE.md rows 9-16 are its
+    peak-memory table). Runs LAST in the bench so the process-cumulative
+    `peak_bytes_in_use` is attributable to this phase (it is the largest)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+
+    num_frames, height, width = 17, 848, 1600
+    cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    model = MagicDriveSTDiT3(cfg)
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height,
+                            width=width, l_txt=60, b=1, map_size=(8, 400, 400))
+    h, w = batch.pop("height"), batch.pop("width")
+    params = _fast_init(model, {**batch, "height": h, "width": w})
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+    params = jax.device_put(params)
+    batch = jax.device_put(batch)
+    gc.collect()
+
+    @jax.jit
+    def fwd(params, b):
+        return model.apply(params, b["x"], b["timestep"], b["y"], b["maps"],
+                           b["bbox"], b["cams"], b["rel_pos"], b["fps"],
+                           height=h, width=w)
+
+    out = fwd(params, batch)
+    _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (compile + first run)
+    t0 = time.perf_counter()
+    out = fwd(params, batch)
+    _ = np.asarray(out[0, 0, 0, 0, :2])
+    dt = time.perf_counter() - t0
+    res = {"fwd848_s": round(dt, 2),
+           "fwd848_shape": "6x848x1600x17f single-CFG forward"}
+    mem = _peak_mem_gb()
+    if mem is not None:
+        # reference: 29.66 GB at sp4 / 23.83 GB at sp8 for the full 129f
+        # inference (FAQ.md:86-93); this is the single-chip forward peak
+        res["fwd848_peak_mem_gb"] = mem
+    return res
+
+
 def _peak_mem_gb():
     """Device peak-memory in GB, when the runtime exposes memory_stats
     (the reference's headline numbers are peak memory, BASELINE.md rows 1-20)."""
@@ -288,6 +337,13 @@ def main():
             extras.update(train_step_metric())
         except Exception as e:  # train bench is best-effort; never lose the metric
             extras["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    if on_tpu and os.environ.get("MDV2_BENCH_848", "1") != "0":
+        try:
+            import gc
+            gc.collect()
+            extras.update(fwd848_metric())
+        except Exception as e:
+            extras["fwd848_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({
         "metric": f"6-view frames/sec/chip, {height}x{width}x{num_frames}f, "
                   f"{NUM_STEPS}-step CFG diffusion",
