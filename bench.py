@@ -167,6 +167,86 @@ def train_step_metric():
     return out
 
 
+def train424_metric():
+    """The reference anchor shape on ONE chip: 6x424x800x17f bs=1 fwd+bwd with
+    remat + differentiable scan-chunked attention (MDV2_TRAIN_CHUNK_ATTN
+    bounds fp32-logit transients in fwd AND bwd — the r2 memory wall was the
+    XLA plan's ~28 GB of attention transients). Reference: 32-34 s/it at bs=6
+    per dp-group on 32 GPUs sp=4 (BASELINE.md rows 21-28). Runs LAST so the
+    cumulative peak_bytes_in_use is attributable to this phase."""
+    import dataclasses
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+    from magicdrive_v2_tpu.schedulers.rf import RFLOW
+
+    os.environ["MDV2_TRAIN_CHUNK_ATTN"] = "1"
+    try:
+        num_frames, height, width = 17, 424, 800
+        cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+        cfg = dataclasses.replace(cfg, grad_checkpoint=True)
+        model = MagicDriveSTDiT3(cfg)
+        batch = synthetic_batch(cfg, num_frames=num_frames, height=height,
+                                width=width, l_txt=60, b=1,
+                                map_size=(8, 400, 400))
+        batch.pop("height"), batch.pop("width")
+        batch.pop("timestep")
+        params = _fast_init(model, {**batch, "timestep": jnp.full((1,), 500.0),
+                                    "height": float(height),
+                                    "width": float(width)})
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params)
+        batch["mask"] = jnp.ones((1, batch["x"].shape[2]), jnp.float32)
+        batch = jax.device_put(batch)
+        gc.collect()
+        scheduler = RFLOW(num_timesteps=1000, use_timestep_transform=True,
+                          cog_style_trans=True)
+
+        def fwd_bwd(params, batch, rng):
+            cond = {k: batch[k] for k in ("y", "maps", "bbox", "cams",
+                                          "rel_pos", "fps")}
+            hw = dict(height=jnp.full((1,), float(height)),
+                      width=jnp.full((1,), float(width)),
+                      num_frames=jnp.full((1,), float(num_frames)))
+
+            def loss_fn(p):
+                def model_fn(x_t, t, x_mask):
+                    return model.apply(p, x_t, t, **cond, height=float(height),
+                                       width=float(width), x_mask=x_mask)
+                out = scheduler.training_losses(model_fn, rng, batch["x"],
+                                                mask=batch["mask"], **hw)
+                return out["loss"].mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return loss, optax.global_norm(grads)
+
+        step = jax.jit(fwd_bwd)
+        loss, _gn = step(params, batch, jax.random.PRNGKey(0))
+        _ = float(loss)
+        times = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            loss, _gn = step(params, batch, jax.random.PRNGKey(i + 1))
+            _ = float(loss)
+            times.append(time.perf_counter() - t0)
+        res = {"train424_step_s": round(float(np.median(times)), 3),
+               "train424_shape": "6x424x800x17f bs=1 remat fwd+bwd "
+                                 "scan-chunked-attn"}
+        mem = _peak_mem_gb()
+        if mem is not None:
+            res["train424_peak_mem_gb"] = mem
+        return res
+    finally:
+        os.environ.pop("MDV2_TRAIN_CHUNK_ATTN", None)
+
+
 def fwd848_metric():
     """Single-CFG forward latency + peak memory at 6x848x1600x17f — the
     reference's headline high-resolution shape (BASELINE.md rows 9-16 are its
@@ -344,6 +424,13 @@ def main():
             extras.update(fwd848_metric())
         except Exception as e:
             extras["fwd848_error"] = f"{type(e).__name__}: {e}"[:200]
+    if on_tpu and os.environ.get("MDV2_BENCH_TRAIN424", "1") != "0":
+        try:
+            import gc
+            gc.collect()
+            extras.update(train424_metric())
+        except Exception as e:  # the measured memory wall, if it still OOMs
+            extras["train424_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps({
         "metric": f"6-view frames/sec/chip, {height}x{width}x{num_frames}f, "
                   f"{NUM_STEPS}-step CFG diffusion",

@@ -111,6 +111,44 @@ def chunked_xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def scan_chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           scale: Optional[float] = None,
+                           q_chunk: int = 512) -> jnp.ndarray:
+    """DIFFERENTIABLE q-chunked attention: lax.scan over query chunks with
+    jax.checkpoint around each chunk, so the backward pass recomputes each
+    chunk's logits instead of saving them — O(chunk) fp32-logit memory in
+    forward AND backward.
+
+    This is the training-path memory lever for big spatial shapes: at
+    6x424x800x17f the fused-XLA spatial attention materializes ~3.5 GB of
+    fp32 logits per site and its backward doubles that, which is what pushes
+    the single-chip fwd+bwd HBM plan past 16 GB (docs/PERF.md). fori_loop
+    (chunked_xla_attention) is not reverse-differentiable; scan is.
+    """
+    B, N, H, Dh = q.shape
+    if scale is None:
+        scale = Dh ** -0.5
+    if N <= q_chunk:
+        return xla_attention(q, k, v, scale=scale)
+    nq = -(-N // q_chunk)
+    pad = nq * q_chunk - N
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else q
+    qs = jnp.moveaxis(qp.reshape(B, nq, q_chunk, H, Dh), 1, 0)
+
+    import functools
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def chunk(qc, k, v):
+        return xla_attention(qc, k, v, scale=scale).astype(q.dtype)
+
+    def body(_, qc):
+        return None, chunk(qc, k, v)
+
+    _, outs = jax.lax.scan(body, None, qs)
+    out = jnp.moveaxis(outs, 0, 1).reshape(B, nq * q_chunk, H, Dh)
+    return out[:, :N]
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           scale: Optional[float] = None,
                           bias: Optional[jnp.ndarray] = None,
@@ -133,10 +171,18 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # XLA's fused attention handles transient fp32 logits up to a few GB on a
         # 16 GB chip without chunking (424p spatial = 1.75e9 elems runs FASTER
         # unchunked: 5.9 vs 6.7 s/step e2e); chunk only beyond ~7 GB.
-        if bias is None and logit_elems > 1.8e9:
+        # MDV2_TRAIN_CHUNK_ATTN=1: training mode — differentiable scan-chunked
+        # attention once logits exceed ~1 GB, bounding fwd+bwd logit memory
+        # (the fwd+bwd pair would otherwise double the transient).
+        if (bias is None and logit_elems > 2 ** 28
+                and os.environ.get("MDV2_TRAIN_CHUNK_ATTN") == "1"):
+            impl = "scan-chunked"
+        elif bias is None and logit_elems > 1.8e9:
             impl = "chunked"
         else:
             impl = "xla"
+    if impl == "scan-chunked" and bias is None:
+        return scan_chunked_attention(q, k, v, scale=scale)
     if impl == "chunked" and bias is None:
         return chunked_xla_attention(q, k, v, scale=scale)
     if impl == "pallas":

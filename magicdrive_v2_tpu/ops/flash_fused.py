@@ -267,6 +267,131 @@ def _fused_fwd_blocked(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
     return out.reshape(G, N, H, D)
 
 
+def _fused_fwd_blocked_hsplit(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
+                              use_norm):
+    """Head-split-grid variant of the blocked-K online-softmax kernel.
+
+    The unrolled-head kernel's floor is its 16-way head loop: a huge kernel
+    body with 16 live online-softmax states (register spills) and small
+    per-head matmuls interleaved with VPU softmax. Here the head is a GRID
+    axis instead: each program handles one (group, q-block, head, source,
+    k-block) with a single softmax state, so Mosaic pipelines k/v loads
+    against compute across programs. The lane-concat output store that
+    previously blocked this layout (heads packed on the minor axis would
+    need a 72-lane-offset store) is dodged by emitting a 4D (G, N, H, D)
+    output — each head writes its own minor-dim block — and letting the
+    consumer contract (H, D) jointly in the output projection."""
+    G, N, _, H, D = qkv.shape
+    bq = min(block_q, N)
+    nq = -(-N // bq)
+    bk = min(block_k, N)
+    nk = -(-N // bk)
+    if q_w is None:
+        q_w = jnp.ones((H, D), jnp.float32)
+        k_w = jnp.ones((H, D), jnp.float32)
+    else:
+        q_w = jnp.broadcast_to(q_w.astype(jnp.float32), (H, D))
+        k_w = jnp.broadcast_to(k_w.astype(jnp.float32), (H, D))
+    if kv_perm is None:
+        kv_perm = np.arange(G, dtype=np.int32)
+    kv_perm = np.asarray(kv_perm, np.int32)
+    if kv_perm.ndim == 1:
+        kv_perm = kv_perm[None]
+    J = kv_perm.shape[0]
+    kv_perm = jnp.asarray(kv_perm)
+    kv_len = N
+
+    def kernel(perm_ref, q_op, k_op, v_op, qw_ref, kw_ref, o_ref,
+               acc_scr, m_scr, l_scr):
+        j = pl.program_id(3)
+        ki = pl.program_id(4)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        base = ki * bk
+        col_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+                  ) < kv_len
+        row_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                  ) < kv_len
+
+        q = q_op[0, :, 0, 0, :]                       # (bq, D) compute dtype
+        k = k_op[0, :, 0, 0, :]                       # (bk, D)
+        v = v_op[0, :, 0, 0, :]
+        if use_norm:
+            q = _rms_kernel(q, qw_ref[0])
+            k = _rms_kernel(k, kw_ref[0])
+        v = jnp.where(row_ok, v, jnp.zeros_like(v))
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(col_ok, s, -jnp.inf)
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+        @pl.when(ki == nk - 1)
+        def _done():
+            res = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+            if J == 1:
+                o_ref[0, :, 0, :] = res
+            else:
+                @pl.when(j == 0)
+                def _first():
+                    o_ref[0, :, 0, :] = res
+
+                @pl.when(j > 0)
+                def _acc():
+                    o_ref[0, :, 0, :] += res
+
+    grid = (G, nq, H, J, nk)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, 1, 1, D),
+                             lambda g, qi, h, j, ki, perm: (g, qi, 0, h, 0)),
+                pl.BlockSpec((1, bk, 1, 1, D),
+                             lambda g, qi, h, j, ki, perm:
+                             (perm[j, g], ki, 1, h, 0)),
+                pl.BlockSpec((1, bk, 1, 1, D),
+                             lambda g, qi, h, j, ki, perm:
+                             (perm[j, g], ki, 2, h, 0)),
+                pl.BlockSpec((1, D), lambda g, qi, h, j, ki, perm: (h, 0)),
+                pl.BlockSpec((1, D), lambda g, qi, h, j, ki, perm: (h, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, 1, D),
+                                   lambda g, qi, h, j, ki, perm:
+                                   (g, qi, h, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, D), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, N, H, D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(kv_perm, qkv, qkv, qkv, q_w, k_w)
+    return out
+
+
 def _xla_reference(qkv, q_w, k_w, kv_perm, scale):
     """Composition-of-XLA-ops reference; used off-TPU and as the vjp target."""
     q = qkv[:, :, 0]
@@ -306,6 +431,8 @@ DEFAULT_BLOCK_K = 1024
 # block_q=512 Mosaic spills ~100 MB of registers to scoped VMEM, so it runs
 # with a smaller q block than the full-row path
 BLOCKED_BLOCK_Q = 256
+# single-head programs have one softmax state -> large q blocks fit
+HSPLIT_BLOCK_Q = int(os.environ.get("MDV2_HSPLIT_BQ", "512"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -331,6 +458,13 @@ def fused_qkv_attention(qkv: jnp.ndarray,
         return _xla_reference(qkv, q_norm_weight, k_norm_weight, kv_perm, scale)
     use_norm = q_norm_weight is not None
     if qkv.shape[1] > FULL_ROW_MAX_N:
+        # head-split grid by default (single-softmax-state programs pipeline
+        # far better than the 16-way unrolled head loop; see docs/PERF.md);
+        # MDV2_BLOCKED_IMPL=unrolled restores the r2 kernel
+        if os.environ.get("MDV2_BLOCKED_IMPL", "hsplit") == "hsplit":
+            return _fused_fwd_blocked_hsplit(
+                qkv, q_norm_weight, k_norm_weight, kv_perm, scale,
+                HSPLIT_BLOCK_Q, DEFAULT_BLOCK_K, use_norm)
         return _fused_fwd_blocked(qkv, q_norm_weight, k_norm_weight, kv_perm,
                                   scale, min(block_q, BLOCKED_BLOCK_Q),
                                   DEFAULT_BLOCK_K, use_norm)

@@ -135,3 +135,24 @@ def test_blocked_k_perm_two_sources(data):
     ref = _xla_reference(qkv, None, None, perm, D ** -0.5)
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_hsplit_matches_full_row(data):
+    """Head-split-grid blocked kernel == full-row path (4D output layout)."""
+    qkv, qw, kw = data
+    full = flash_fused._fused_fwd_impl(qkv, qw, kw, None, D ** -0.5, 16, True)
+    hs = flash_fused._fused_fwd_blocked_hsplit(qkv, qw, kw, None, D ** -0.5,
+                                               16, 16, True)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(full),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_hsplit_perm_two_sources(data):
+    qkv, _, _ = data
+    perm = np.stack([np.roll(np.arange(G), 1), np.roll(np.arange(G), -1)])
+    hs = flash_fused._fused_fwd_blocked_hsplit(qkv, None, None,
+                                               tuple(map(tuple, perm)),
+                                               D ** -0.5, 16, 16, False)
+    ref = _xla_reference(qkv, None, None, perm, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -154,3 +154,29 @@ def test_fused_adaln_matches_composition():
     out2 = adaln_modulate(x2, s2, s2)
     ref2 = t2i_modulate(layer_norm_fp32(x2), s2[:, None], s2[:, None])
     assert np.allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)
+
+
+def test_scan_chunked_attention_fwd_and_grad():
+    """Differentiable q-chunked attention == plain XLA attention, incl. grads
+    (the 424p training-path memory lever; remat per chunk)."""
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.ops.attention import (scan_chunked_attention,
+                                                 xla_attention)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 70, 3, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 70, 3, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 70, 3, 8)), jnp.float32)
+
+    a = scan_chunked_attention(q, k, v, q_chunk=16)  # 70 = 4*16 + 6 (padded)
+    b = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    ga = jax.grad(lambda q, k, v: (scan_chunked_attention(
+        q, k, v, q_chunk=16) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(lambda q, k, v: (xla_attention(q, k, v) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-4, rtol=1e-4)
