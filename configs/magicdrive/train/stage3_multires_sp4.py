@@ -23,7 +23,9 @@ vae_out_channels = 16
 
 model = xl2_model(bbox_mode=bbox_mode, control_skip_temporal=False, sp_size=sp_size,
                   force_pad_h_for_sp_size=force_pad_h_for_sp_size)
-vae = cogvae(micro_frame_size=17, micro_batch_size=1)
+# micro_frame_size=8 like the reference stage3 (vae streams encode in 8-frame
+# chunks with carried conv caches; 8n/8n+1 clip lengths)
+vae = cogvae(micro_frame_size=8, micro_batch_size=1)
 text_encoder = t5_xxl()
 scheduler = rflow(sample_method="logit-normal")
 

@@ -109,6 +109,41 @@ def cmd_time(shape=None, cfg_double=True):
           + " ".join(f"{t:.3f}" for t in times) + ")")
 
 
+def cmd_vae848(num_frames: int = 232, height: int = 848, width: int = 1600):
+    """Measured memory plan for the full-length 848x1600 6-cam VAE ENCODE
+    (SURVEY §7 hard part 6 / VERDICT r2 #2): micro_frame_size=8 streaming
+    chunks with carried conv caches + micro_batch_size=1 (per-camera batch
+    chunking) bound the per-program activations; this measures wall time and
+    peak_bytes_in_use for the whole encode on one chip. Reference needs the
+    same two levers (vae_cogvideox.py:1347-1374, 1379-1383)."""
+    import jax
+    import jax.numpy as jnp
+
+    from magicdrive_v2_tpu.models.vae.cogvideox import (
+        CogVAEConfig, VideoAutoencoderKLCogVideoX)
+
+    _enable_compile_cache()
+    vae = VideoAutoencoderKLCogVideoX(CogVAEConfig(dtype=jnp.bfloat16),
+                                      micro_frame_size=8, micro_batch_size=1)
+    vae.init(jax.random.PRNGKey(0))
+    rng_np = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    outs = []
+    encode = jax.jit(lambda x: vae.encode(x, sample=False))
+    for cam in range(6):  # micro_batch_size=1: one camera per encode program
+        x = jnp.asarray(rng_np.standard_normal(
+            (1, 3, num_frames, height, width)).astype(np.float32),
+            jnp.bfloat16)
+        z = encode(x)
+        outs.append(np.asarray(z[..., :1, :1]))  # sync through the relay
+    dt = time.perf_counter() - t0
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0) / 2 ** 30
+    print(f"vae848 encode 6x{num_frames}f {height}x{width}: {dt:.1f}s total "
+          f"({dt / 6:.1f}s/cam), latent T'={z.shape[2]}, "
+          f"peak_mem={peak:.2f} GB")
+
+
 def cmd_profile(shape=None, cfg_double=True):
     import jax
     run_chain, args, chained = build_step(chained=1, shape=shape,
@@ -208,6 +243,8 @@ if __name__ == "__main__":
         # full-scene datapoint: 232 frames (the reference's full-length 424p
         # needs 40.7 GB at sp=1 on an H20; slice-CFG single pass)
         cmd_time(shape=(232, 424, 800), cfg_double=False)
+    elif cmd == "vae848":
+        cmd_vae848()
     elif cmd == "profile":
         cmd_profile()
     elif cmd == "profile848":
