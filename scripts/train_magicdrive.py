@@ -295,11 +295,41 @@ def main():
                 _val["pipe"] = MagicDrivePipeline(model, cur_state.params,
                                                   val_vae, val_te, sched_inf, cfg)
                 if vae is not None:
-                    # dataset mode: fixed real conditions from the first training
-                    # sample (reference's validation_index contract)
+                    # dataset mode: fixed cfg.validation_index samples from the
+                    # VAL split (reference train_utils.py:268-468 renders the
+                    # same dataset indices every report_every with fixed seeds)
                     cond_keys = ("y", "maps", "bbox", "cams", "rel_pos", "fps")
-                    _val["batches"] = [{k: example[k] for k in cond_keys
-                                        if k in example}]
+                    batches = []
+                    try:
+                        from magicdrive_v2_tpu.datasets import (
+                            clip_to_model_batch, collate_clips)
+                        from magicdrive_v2_tpu.registry import (DATASETS,
+                                                                build_module)
+                        val_cfg = dict(cfg.dataset.data.val)
+                        val_cfg.setdefault("video_length",
+                                           cfg.get("num_frames", vt))
+                        val_ds = build_module(val_cfg, DATASETS)
+                        v_idx = cfg.get("validation_index", [0])
+                        if v_idx == "all":
+                            v_idx = list(range(len(val_ds)))
+                        bb = dict(model_cfg.bbox_embedder_param)
+                        box_dim = (bb.get("class_token_dim", 1152)
+                                   if bb.get("sample_id") else None)
+                        for vi in v_idx[:cfg.get("num_validation", 4)]:
+                            clip = val_ds[vi]
+                            vb = clip_to_model_batch(collate_clips([clip]),
+                                                     box_latent_dim=box_dim)
+                            enc = val_te.encode(vb.pop("captions"))
+                            vb["y"] = enc["y"]
+                            batches.append({k: vb[k] for k in cond_keys
+                                            if k in vb})
+                    except Exception as e:
+                        logger.warning(
+                            "validation set unavailable (%s); falling back to "
+                            "first-training-batch conditions", e)
+                        batches = [{k: example[k] for k in cond_keys
+                                    if k in example}]
+                    _val["batches"] = batches
                 else:
                     n_val = cfg.get("num_validation", 1)
                     batches = []

@@ -47,12 +47,19 @@ for _t in _pipe:
     if _t["type"] == "LoadBEVSegmentation":
         _t["xbound"] = [-50.0, 50.0, 1.0]
         _t["ybound"] = [-50.0, 50.0, 1.0]
-dataset = dict(data=dict(train=dict(
+_split = dict(
     type="NuScenesTDataset", ann_file={ann_file!r}, dataset_root="",
     object_classes=_yaml["object_classes"], view_order=_yaml["view_order"],
     pipeline=_pipe, start_on_keyframe=True, fps=12,
     img_collate_param=dict(template=_yaml["template"], frame_emb="next2top",
-                           bbox_mode="all-xyz", bbox_processor_type=2))))
+                           bbox_mode="all-xyz", bbox_processor_type=2))
+dataset = dict(data=dict(train=dict(_split), val=dict(_split)))
+
+# in-training validation from the VAL split (reference validation_index)
+report_every = 2
+validation_index = [0]
+num_validation = 1
+val_scheduler = rflow(num_sampling_steps=2)
 
 lr = 1e-4
 grad_checkpoint = False
@@ -111,10 +118,14 @@ def test_train_app_on_real_data(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/train_magicdrive.py"),
          str(cfg_path), "--max-steps", "2"],
-        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-3000:]
     metrics = [json.loads(ln) for ln in
                open(os.path.join(out_dir, "metrics.jsonl"))]
     assert len(metrics) >= 2
     assert all(abs(m["loss"]) < 100 for m in metrics)
+    # in-training validation rendered the fixed VAL-split sample at step 2
+    val_dir = os.path.join(out_dir, "validation")
+    assert os.path.isdir(val_dir) and os.listdir(val_dir), proc.stdout[-2000:]
+    assert "falling back to first-training-batch" not in proc.stderr + proc.stdout
     assert os.path.isdir(os.path.join(out_dir, "global_step2", "model"))
