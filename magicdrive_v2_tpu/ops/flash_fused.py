@@ -276,22 +276,25 @@ def _fused_fwd_blocked_hsplit(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
     per-head matmuls interleaved with VPU softmax. Here the head is a GRID
     axis instead: each program handles one (group, q-block, head, source,
     k-block) with a single softmax state, so Mosaic pipelines k/v loads
-    against compute across programs. The lane-concat output store that
-    previously blocked this layout (heads packed on the minor axis would
-    need a 72-lane-offset store) is dodged by emitting a 4D (G, N, H, D)
-    output — each head writes its own minor-dim block — and letting the
-    consumer contract (H, D) jointly in the output projection."""
+    against compute across programs.
+
+    Mosaic requires the last two block dims to be (divisible by 8, divisible
+    by 128 or full), so the head axis cannot be blocked while second-minor —
+    the operand is transposed to (G, H, 3, N, D) once outside the kernel
+    (HBM-bandwidth cost, ~3 ms for the 848p site's 1.1 GB qkv vs the
+    hundreds-of-ms attention) and the output comes back as (G, H, N, D);
+    the caller's output projection contracts (H, D) jointly."""
     G, N, _, H, D = qkv.shape
     bq = min(block_q, N)
     nq = -(-N // bq)
     bk = min(block_k, N)
     nk = -(-N // bk)
     if q_w is None:
-        q_w = jnp.ones((H, D), jnp.float32)
-        k_w = jnp.ones((H, D), jnp.float32)
+        q_w = jnp.ones((H, 1, D), jnp.float32)
+        k_w = jnp.ones((H, 1, D), jnp.float32)
     else:
-        q_w = jnp.broadcast_to(q_w.astype(jnp.float32), (H, D))
-        k_w = jnp.broadcast_to(k_w.astype(jnp.float32), (H, D))
+        q_w = jnp.broadcast_to(q_w.astype(jnp.float32), (H, D))[:, None]
+        k_w = jnp.broadcast_to(k_w.astype(jnp.float32), (H, D))[:, None]
     if kv_perm is None:
         kv_perm = np.arange(G, dtype=np.int32)
     kv_perm = np.asarray(kv_perm, np.int32)
@@ -300,6 +303,8 @@ def _fused_fwd_blocked_hsplit(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
     J = kv_perm.shape[0]
     kv_perm = jnp.asarray(kv_perm)
     kv_len = N
+
+    qkv_t = jnp.transpose(qkv, (0, 3, 2, 1, 4))  # (G, H, 3, N, D)
 
     def kernel(perm_ref, q_op, k_op, v_op, qw_ref, kw_ref, o_ref,
                acc_scr, m_scr, l_scr):
@@ -318,12 +323,12 @@ def _fused_fwd_blocked_hsplit(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
         row_ok = (base + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
                   ) < kv_len
 
-        q = q_op[0, :, 0, 0, :]                       # (bq, D) compute dtype
-        k = k_op[0, :, 0, 0, :]                       # (bk, D)
-        v = v_op[0, :, 0, 0, :]
+        q = q_op[0, 0, 0, :, :]                       # (bq, D) compute dtype
+        k = k_op[0, 0, 0, :, :]                       # (bk, D)
+        v = v_op[0, 0, 0, :, :]
         if use_norm:
-            q = _rms_kernel(q, qw_ref[0])
-            k = _rms_kernel(k, kw_ref[0])
+            q = _rms_kernel(q, qw_ref[0, 0])
+            k = _rms_kernel(k, kw_ref[0, 0])
         v = jnp.where(row_ok, v, jnp.zeros_like(v))
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -344,15 +349,15 @@ def _fused_fwd_blocked_hsplit(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
         def _done():
             res = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
             if J == 1:
-                o_ref[0, :, 0, :] = res
+                o_ref[0, 0] = res
             else:
                 @pl.when(j == 0)
                 def _first():
-                    o_ref[0, :, 0, :] = res
+                    o_ref[0, 0] = res
 
                 @pl.when(j > 0)
                 def _acc():
-                    o_ref[0, :, 0, :] += res
+                    o_ref[0, 0] += res
 
     grid = (G, nq, H, J, nk)
     out = pl.pallas_call(
@@ -361,35 +366,35 @@ def _fused_fwd_blocked_hsplit(qkv, q_w, k_w, kv_perm, scale, block_q, block_k,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, bq, 1, 1, D),
-                             lambda g, qi, h, j, ki, perm: (g, qi, 0, h, 0)),
-                pl.BlockSpec((1, bk, 1, 1, D),
+                pl.BlockSpec((1, 1, 1, bq, D),
+                             lambda g, qi, h, j, ki, perm: (g, h, 0, qi, 0)),
+                pl.BlockSpec((1, 1, 1, bk, D),
                              lambda g, qi, h, j, ki, perm:
-                             (perm[j, g], ki, 1, h, 0)),
-                pl.BlockSpec((1, bk, 1, 1, D),
+                             (perm[j, g], h, 1, ki, 0)),
+                pl.BlockSpec((1, 1, 1, bk, D),
                              lambda g, qi, h, j, ki, perm:
-                             (perm[j, g], ki, 2, h, 0)),
-                pl.BlockSpec((1, D), lambda g, qi, h, j, ki, perm: (h, 0)),
-                pl.BlockSpec((1, D), lambda g, qi, h, j, ki, perm: (h, 0)),
+                             (perm[j, g], h, 2, ki, 0)),
+                pl.BlockSpec((1, 1, D), lambda g, qi, h, j, ki, perm: (h, 0, 0)),
+                pl.BlockSpec((1, 1, D), lambda g, qi, h, j, ki, perm: (h, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, 1, D),
+            out_specs=pl.BlockSpec((1, 1, bq, D),
                                    lambda g, qi, h, j, ki, perm:
-                                   (g, qi, h, 0)),
+                                   (g, h, qi, 0)),
             scratch_shapes=[
                 pltpu.VMEM((bq, D), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((G, N, H, D), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, H, N, D), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary",
                                  "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(kv_perm, qkv, qkv, qkv, q_w, k_w)
-    return out
+    )(kv_perm, qkv_t, qkv_t, qkv_t, q_w, k_w)
+    return jnp.transpose(out, (0, 2, 1, 3))  # (G, N, H, D) API contract
 
 
 def _xla_reference(qkv, q_w, k_w, kv_perm, scale):
