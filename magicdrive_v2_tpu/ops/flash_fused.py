@@ -429,8 +429,10 @@ def _xla_reference(qkv, q_w, k_w, kv_perm, scale):
 
 
 # full k/v rows stream whole into VMEM below this length; blocked-K online
-# softmax beyond (848p S=5300 needs ~228 MB for full rows vs 128 MB VMEM)
-FULL_ROW_MAX_N = 2048
+# softmax beyond (848p S=5300 needs ~228 MB for full rows vs 128 MB VMEM).
+# Env-overridable for dispatch experiments (e.g. force the head-split blocked
+# kernel at the 424p S=1350 shape: MDV2_FUSED_ATTN=1 MDV2_FULL_ROW_MAX_N=1024)
+FULL_ROW_MAX_N = int(os.environ.get("MDV2_FULL_ROW_MAX_N", "2048"))
 DEFAULT_BLOCK_K = 1024
 # the blocked path unrolls all 16 heads with live online-softmax state; at
 # block_q=512 Mosaic spills ~100 MB of registers to scoped VMEM, so it runs

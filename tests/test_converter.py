@@ -236,3 +236,72 @@ def test_dataset_consumes_converted_schema(tmp_path):
     out = nc.build_infos(version="v1.0-trainval", nusc=nusc)
     frame = frame_from_info(out["train"]["infos"][2])
     assert "cams" in frame or frame is not None
+
+
+# ---------------------------------------------------------------------------
+# validate_infos.py — field-level infos-pkl comparator (run it for real against
+# a reference-produced pkl once real data exists; here: self-consistency +
+# detection power on the stub-devkit output)
+# ---------------------------------------------------------------------------
+
+import copy
+import pickle
+
+import validate_infos as vi
+
+
+def _dump(tmp_path, name, data):
+    p = tmp_path / name
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    return str(p)
+
+
+def test_validate_identical_ok(infos, tmp_path, capsys):
+    a = _dump(tmp_path, "a.pkl", infos)
+    b = _dump(tmp_path, "b.pkl", infos)
+    assert vi.main([a, b]) == 0
+    assert "RESULT: OK" in capsys.readouterr().out
+
+
+def test_validate_detects_box_and_pose_drift(infos, tmp_path, capsys):
+    mut = copy.deepcopy(infos)
+    tgt = mut["train"]["infos"][2]
+    tgt["gt_boxes"] = np.asarray(tgt["gt_boxes"], float).copy()
+    tgt["gt_boxes"][0, 0] += 1.0  # 1 m center drift >> atol-box
+    tgt["ego2global_translation"] = (
+        np.asarray(tgt["ego2global_translation"], float) + 0.01).tolist()
+    a = _dump(tmp_path, "a.pkl", infos)
+    b = _dump(tmp_path, "b.pkl", mut)
+    assert vi.main([a, b]) == 1
+    out = capsys.readouterr().out
+    assert "[FAIL] gt_boxes" in out
+    assert "[FAIL] ego2global_translation" in out
+    # untouched fields still pass
+    assert "[ok] cams.sensor2lidar_rotation" in out
+
+
+def test_validate_aligns_boxes_by_id(infos, tmp_path):
+    """Row order differences are fine when gt_box_ids match."""
+    mut = copy.deepcopy(infos)
+    for info in mut["train"]["infos"]:
+        n = len(info["gt_box_ids"])
+        if n > 1:
+            perm = np.arange(n)[::-1]
+            for f in ("gt_boxes", "gt_velocity", "gt_names", "gt_box_ids",
+                      "num_lidar_pts", "num_radar_pts", "visibility",
+                      "valid_flag"):
+                if f in info and len(info[f]) == n:
+                    info[f] = np.asarray(info[f])[perm]
+    a = _dump(tmp_path, "a.pkl", infos)
+    b = _dump(tmp_path, "b.pkl", mut)
+    assert vi.main([a, b]) == 0
+
+
+def test_validate_reports_missing_tokens(infos, tmp_path, capsys):
+    mut = copy.deepcopy(infos)
+    del mut["train"]["infos"][3]
+    a = _dump(tmp_path, "a.pkl", infos)
+    b = _dump(tmp_path, "b.pkl", mut)
+    assert vi.main([a, b]) == 1
+    assert "only-ours" in capsys.readouterr().out
