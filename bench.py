@@ -137,8 +137,10 @@ def train_step_metric():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, optax.global_norm(grads)
 
-    step = jax.jit(fwd_bwd)
-    loss, gn = step(params, batch, jax.random.PRNGKey(0))  # compile
+    step = jax.jit(fwd_bwd).lower(params, batch,
+                                  jax.random.PRNGKey(0)).compile()
+    plan_mem = _plan_mem_gb(step)
+    loss, gn = step(params, batch, jax.random.PRNGKey(0))  # first run
     _ = float(loss)
     times = []
     for i in range(3):
@@ -157,6 +159,7 @@ def train_step_metric():
     ref_flops_chip = 48 * ref_sample_flops / (33.0 * 32)
     our_flops_chip = our_flops / t_it
     out = dict(train_step_s=round(t_it, 3),
+               train_plan_mem_gb=plan_mem,
                train_tflops_per_s_chip=round(our_flops_chip / 1e12, 1),
                train_vs_baseline=round(our_flops_chip / ref_flops_chip, 4),
                train_shape=f"6x{height}x{width}x{num_frames}f bs=1 remat "
@@ -227,7 +230,21 @@ def train424_metric():
             loss, grads = jax.value_and_grad(loss_fn)(params)
             return loss, optax.global_norm(grads)
 
-        step = jax.jit(fwd_bwd)
+        try:
+            step = jax.jit(fwd_bwd).lower(params, batch,
+                                          jax.random.PRNGKey(0)).compile()
+        except Exception as e:
+            wall = _mem_wall_gb(e)
+            if wall is not None:
+                # the measured single-chip memory wall for the reference's
+                # 424p anchor shape (XLA plan vs the 16 GB chip); the real
+                # training recipe shards this bucket over sp>=2 — the
+                # reference itself spreads it over four 96 GB H20s
+                return {"train424_mem_wall_gb": wall,
+                        "train424_shape": "6x424x800x17f bs=1 fwd+bwd "
+                                          "(XLA plan exceeds 16 GB chip)"}
+            raise
+        plan_mem = _plan_mem_gb(step)
         loss, _gn = step(params, batch, jax.random.PRNGKey(0))
         _ = float(loss)
         times = []
@@ -237,6 +254,7 @@ def train424_metric():
             _ = float(loss)
             times.append(time.perf_counter() - t0)
         res = {"train424_step_s": round(float(np.median(times)), 3),
+               "train424_plan_mem_gb": plan_mem,
                "train424_shape": "6x424x800x17f bs=1 remat fwd+bwd "
                                  "scan-chunked-attn"}
         mem = _peak_mem_gb()
@@ -280,13 +298,15 @@ def fwd848_metric():
                            b["bbox"], b["cams"], b["rel_pos"], b["fps"],
                            height=h, width=w)
 
-    out = fwd(params, batch)
-    _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (compile + first run)
+    fwd_c = fwd.lower(params, batch).compile()
+    out = fwd_c(params, batch)
+    _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (first run)
     t0 = time.perf_counter()
-    out = fwd(params, batch)
+    out = fwd_c(params, batch)
     _ = np.asarray(out[0, 0, 0, 0, :2])
     dt = time.perf_counter() - t0
     res = {"fwd848_s": round(dt, 2),
+           "fwd848_plan_mem_gb": _plan_mem_gb(fwd_c),
            "fwd848_shape": "6x848x1600x17f single-CFG forward"}
     mem = _peak_mem_gb()
     if mem is not None:
@@ -302,10 +322,38 @@ def _peak_mem_gb():
     import jax
     try:
         stats = jax.local_devices()[0].memory_stats()
+        if stats is None:
+            return None
         peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
         return round(peak / 2**30, 2) if peak else None
     except Exception:
         return None
+
+
+def _plan_mem_gb(compiled):
+    """HBM requirement of a compiled executable from XLA's own allocation plan
+    (arguments + temps + non-aliased output). The axon runtime exposes no
+    memory_stats, so this is the memory figure reported against BASELINE.md's
+    peak tables — it is what buffer assignment reserves, an upper bound the
+    runtime peak cannot exceed."""
+    try:
+        ma = compiled.memory_analysis()
+        tot = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+               - ma.alias_size_in_bytes + ma.temp_size_in_bytes)
+        return round(tot / 2**30, 2)
+    except Exception:
+        return None
+
+
+_OOM_RE = r"hbm requirement ([0-9.]+)G"
+
+
+def _mem_wall_gb(err) -> float | None:
+    """Parse 'Program hbm requirement N.NNG' out of a RESOURCE_EXHAUSTED
+    compile error — the measured single-chip memory wall."""
+    import re
+    m = re.search(_OOM_RE, str(err))
+    return float(m.group(1)) if m else None
 
 
 def main():
@@ -371,6 +419,8 @@ def main():
 
     z = batch["x"]
     t = batch["timestep"]
+    run_chain = run_chain.lower(params, b2, cond_cache, z, t).compile()
+    chain_plan_mem = _plan_mem_gb(run_chain)
     out = run_chain(params, b2, cond_cache, z, t)
     _ = np.asarray(out[0, 0, 0, 0, :2])  # full sync through the relay
 
@@ -403,8 +453,12 @@ def main():
                   step_flops=flops, mfu_vs_peak=round(mfu, 3),
                   shape=f"6x{height}x{width}x{num_frames}f",
                   chained_steps=CHAINED_STEPS)
+    if chain_plan_mem is not None:
+        # reference anchor: 17.91 GB @ 424x800x17f inference on H20 (BASELINE.md
+        # row "Inference peak mem"; theirs is runtime peak WITH cpu-offload,
+        # ours the XLA allocation plan for the whole denoise chain)
+        extras["plan_mem_gb"] = chain_plan_mem
     if peak_mem is not None:
-        # reference anchor: 17.97 GB @ 424x800x17f inference on H20 (BASELINE.md)
         extras["peak_mem_gb"] = peak_mem
     if on_tpu and os.environ.get("MDV2_BENCH_TRAIN", "1") != "0":
         try:

@@ -171,15 +171,20 @@ class MagicDrivePipeline:
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
     # ------------------------------------------------------------------
-    def _build_predict_fn(self, model_args: Dict, guidance_scale: float,
-                          slice_cfg: bool, z_shape=None, null_y=None):
+    def _build_predict_fn(self, model_args: Dict, guidance_scale, slice_cfg: bool,
+                          z_shape=None, null_y=None, params=None):
         """Returns predict(z, t, x_mask) -> CFG-combined velocity; model_args hold the
         conditioning (already doubled for batched CFG). z_shape (the latent shape)
         enables the per-sample condition cache. null_y overrides the y_embedder null
-        embedding in CFG (reference neg_prompts, rf/__init__.py:58-59)."""
+        embedding in CFG (reference neg_prompts, rf/__init__.py:58-59).
+
+        Pure in (params, model_args, null_y, guidance_scale): safe to call under
+        jit with tracers for all of them (the jit-cached sample path does)."""
         scale = guidance_scale
         apply = self.model.apply
-        params = self.params
+        params = self.params if params is None else params
+        uncond_cam = params["params"]["camera_embedder"]["uncond_cam"]
+        uncond_rel_pos = params["params"]["frame_embedder"]["uncond_cam"]
         if null_y is None:
             null_y = self.null_y(model_args["y"].shape[0])
 
@@ -194,7 +199,7 @@ class MagicDrivePipeline:
                          method=type(self.model).encode_conditions)
 
         if not slice_cfg:
-            args2 = add_null_condition(model_args, self.uncond_cam, self.uncond_rel_pos)
+            args2 = add_null_condition(model_args, uncond_cam, uncond_rel_pos)
             args2["y"] = jnp.concatenate([model_args["y"], null_y], axis=0)
             # computed HERE (outside the sampler's lax.scan) so the 30-step loop
             # reuses the same embedded conditions
@@ -215,7 +220,7 @@ class MagicDrivePipeline:
             return predict
 
         null_args = replace_with_null_condition(
-            model_args, self.uncond_cam, self.uncond_rel_pos, null_y,
+            model_args, uncond_cam, uncond_rel_pos, null_y,
             ["y", "bbox", "cams", "rel_pos"])
         cache_c = cond_cache_for(model_args, z_shape) if z_shape is not None else None
         cache_n = cond_cache_for(null_args, z_shape) if z_shape is not None else None
@@ -231,6 +236,36 @@ class MagicDrivePipeline:
             return null_pred + scale * (all_pred - null_pred)
 
         return predict
+
+    def _jit_sample_fn(self, sched, height, width, num_frames):
+        """Jit-compiled whole-sample program (condition embed + CFG + Euler scan),
+        cached per (scheduler state, pixel shape). Without this every `sample`
+        call re-traces the 30-step loop (~30 s host time at the tiny-test shape
+        alone); with it, repeat calls at a shape bucket reuse the executable —
+        the reference keeps torch modules resident instead (inference loop,
+        scripts/inference_magicdrive.py:334-539). jit's own signature cache
+        handles z/conditioning shape and mask-None variation under each key."""
+        import dataclasses as _dc
+
+        key = ("sample", float(height), float(width), int(num_frames),
+               _dc.astuple(sched))
+        fn = self._sample_fns.get(key)
+        if fn is None:
+            hf, wf, nf = float(height), float(width), float(num_frames)
+            slice_cfg = sched.slice_cfg
+
+            def core(params, z, rng, model_args, null_y, mask, scale):
+                predict = self._build_predict_fn(
+                    {**model_args, "height": hf, "width": wf}, scale, slice_cfg,
+                    z_shape=tuple(z.shape), null_y=null_y, params=params)
+                bsz = z.shape[0]
+                hw = dict(height=jnp.full((bsz,), hf), width=jnp.full((bsz,), wf),
+                          num_frames=jnp.full((bsz,), nf))
+                return sched.sample(predict, z, mask=mask, rng=rng, **hw)
+
+            fn = jax.jit(core)
+            self._sample_fns[key] = fn
+        return fn
 
     def sample(self, batch: Dict, *, num_frames: int, height: int, width: int,
                rng: Optional[jax.Array] = None, z: Optional[jnp.ndarray] = None,
@@ -268,23 +303,16 @@ class MagicDrivePipeline:
                                             "fps", "x_inpaint", "mask_inpaint",
                                             "t_inpaint", "rngs_key", "num_timesteps")
                       if k in batch}
-        null_y = None
         if neg_prompts is not None:
             ny = self.text_encoder.encode(list(neg_prompts))["y"]
             null_y = jnp.broadcast_to(ny, (b,) + tuple(ny.shape[1:])) \
                 if ny.shape[0] != b else ny
-        predict = self._build_predict_fn(
-            {**model_args, "height": float(height), "width": float(width)},
-            guidance_scale, sched.slice_cfg, z_shape=tuple(z.shape), null_y=null_y)
+        else:
+            null_y = self.null_y(b)  # host-side text-encoder read, cheap
 
-        hw = dict(height=jnp.full((z.shape[0],), float(height)),
-                  width=jnp.full((z.shape[0],), float(width)),
-                  num_frames=jnp.full((z.shape[0],), float(num_frames)))
-
-        def _predict(zz, tt, xm):
-            return predict(zz, tt, xm)
-
-        samples = sched.sample(_predict, z, mask=mask, rng=rng, **hw)
+        samples = self._jit_sample_fn(sched, height, width, num_frames)(
+            self.params, z, rng, model_args, null_y, mask,
+            jnp.float32(guidance_scale))
         if not decode:
             return samples
         # (b, C*NC, T', H', W') -> (b*NC, C, T', H', W') for VAE decode
@@ -294,6 +322,38 @@ class MagicDrivePipeline:
         vids = self.vae.decode(lat.astype(self.vae.cfg.dtype))
         return np.asarray(vids.astype(jnp.float32)).reshape(
             b, nc, *vids.shape[1:])
+
+    def sample_repaint(self, batch: Dict, ref_z, lat_mask, *, num_frames: int,
+                       height: int, width: int, rng: jax.Array,
+                       guidance_scale: Optional[float] = None, scheduler=None):
+        """RePaint latent inpainting (reference rf/__init__.py:780-888), jit-cached
+        like `sample`. ref_z: (B, C*NC, T', H', W') reference latents; lat_mask same
+        shape, 1 = region kept from the (noised) reference."""
+        import dataclasses as _dc
+
+        sched = scheduler if scheduler is not None else self.scheduler
+        if guidance_scale is None:
+            guidance_scale = sched.cfg_scale
+        model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
+                                            "fps") if k in batch}
+        null_y = self.null_y(model_args["y"].shape[0])
+        key = ("repaint", float(height), float(width), int(num_frames),
+               _dc.astuple(sched))
+        fn = self._sample_fns.get(key)
+        if fn is None:
+            hf, wf, nf = float(height), float(width), float(num_frames)
+
+            def core(params, ref_z, mask, rng, model_args, null_y, scale):
+                predict = self._build_predict_fn(
+                    {**model_args, "height": hf, "width": wf}, scale, True,
+                    z_shape=tuple(ref_z.shape), null_y=null_y, params=params)
+                return sched.sample_repaint(predict, ref_z, mask, height=hf,
+                                            width=wf, num_frames=nf, rng=rng)
+
+            fn = jax.jit(core)
+            self._sample_fns[key] = fn
+        return fn(self.params, jnp.asarray(ref_z), jnp.asarray(lat_mask), rng,
+                  model_args, null_y, jnp.float32(guidance_scale))
 
 
 def synthetic_batch(model_cfg, num_frames: int, height: int, width: int,

@@ -127,16 +127,10 @@ def main():
         lat_mask = np.repeat(lat_mask[:, None], model_cfg.in_channels, axis=1
                              ).reshape(b, -1, lat_t, lat_h, lat_w)
 
-        model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
-                                            "fps") if k in batch}
-        predict = pipe._build_predict_fn(
-            {**model_args, "height": float(height), "width": float(width)},
-            cfg.scheduler.get("cfg_scale", 2.0), slice_cfg=True)
-        z = sched.sample_repaint(
-            lambda zz, tt, xm: predict(zz, tt, xm),
-            jnp.asarray(ref_z), jnp.asarray(lat_mask),
-            height=float(height), width=float(width), num_frames=float(num_frames),
-            rng=jax.random.PRNGKey(1024 + ns))
+        z = pipe.sample_repaint(
+            batch, ref_z, lat_mask, num_frames=num_frames, height=height,
+            width=width, rng=jax.random.PRNGKey(1024 + ns),
+            guidance_scale=cfg.scheduler.get("cfg_scale", 2.0), scheduler=sched)
 
         lat = np.asarray(z).reshape(b, model_cfg.in_channels, nc, lat_t, lat_h,
                                     lat_w).transpose(0, 2, 1, 3, 4, 5)

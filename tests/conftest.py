@@ -28,6 +28,16 @@ assert jax.default_backend() == "cpu", (
 assert len(jax.devices()) >= 8, jax.devices()
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compile cache: the quick tier is dominated by serial CPU
+# compiles of the tiny models (e.g. the pipeline fixture's ~3 min init); with a
+# warm cache the same run completes in a fraction of the time. Keyed by HLO +
+# compile flags, so code changes only re-pay for the programs they touch.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jaxcache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import pytest  # noqa: E402
 
 

@@ -118,6 +118,26 @@ def test_slice_cfg_matches_batched(pipe):
     np.testing.assert_allclose(np.asarray(s_batched), np.asarray(s_slice), atol=2e-4)
 
 
+def test_sample_fn_cache_reused_across_calls(pipe):
+    """Repeat `sample` calls at one (shape, scheduler) bucket must reuse the
+    jit-compiled program (one cache entry), and changing the guidance scale must
+    NOT add entries (scale is traced, not static)."""
+    batch = _cond_batch(Config(TINY_CFG))
+    z = jnp.zeros((1, 24, 3, 4, 5), jnp.float32)
+    pipe._sample_fns.clear()
+    pipe.sample(batch, num_frames=9, height=32, width=40, z=z, decode=False)
+    assert len(pipe._sample_fns) == 1
+    fn = next(iter(pipe._sample_fns.values()))
+    n_traces = fn._cache_size()
+    pipe.sample(batch, num_frames=9, height=32, width=40, z=z, decode=False,
+                guidance_scale=7.5)
+    assert len(pipe._sample_fns) == 1
+    assert fn._cache_size() == n_traces  # scale change: no retrace
+    pipe.sample(batch, num_frames=5, height=32, width=40, z=z[:, :, :2],
+                decode=False)
+    assert len(pipe._sample_fns) == 2  # new shape bucket: new entry
+
+
 def test_frame_mask_pins_reference_frames(pipe):
     batch = _cond_batch(Config(TINY_CFG))
     z = jax.random.normal(jax.random.PRNGKey(5), (1, 4 * 6, 3, 4, 5))
