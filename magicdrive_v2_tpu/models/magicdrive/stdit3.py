@@ -25,6 +25,7 @@ import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -120,6 +121,14 @@ class MagicDriveSTDiT3Config:
     mv_order_map: Tuple[Tuple[int, ...], ...] = tuple(
         tuple(v) for v in DEFAULT_MV_ORDER_MAP.values())
     grad_checkpoint: bool = True
+    # "full": plain per-layer-group remat (recompute everything in the backward).
+    # "offload_carry": additionally stash each layer group's carry residual
+    # (the stacked (depth, B, T, S, C) activations the backward scan reads) in
+    # pinned HOST memory instead of HBM — the single-chip lever for buckets
+    # whose full-remat plan exceeds the chip (the reference's equivalent is
+    # --cpu-offload, SURVEY §5; e.g. the 424x800x17f train anchor needs ~28 GB
+    # on a 16 GB v5e without it). No effect unless grad_checkpoint.
+    remat_policy: str = "full"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -302,6 +311,7 @@ class CtrlLayerGroup(nn.Module):
     def __call__(self, carry, _, y, t, x_mask, t0):
         cfg = self.cfg
         x, c = carry
+        x, c = _name_carry(cfg, x), _name_carry(cfg, c)
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
                       mlp_ratio=cfg.mlp_ratio, qk_norm=cfg.qk_norm,
                       neighbors=cfg.mv_order_map, dtype=cfg.dtype)
@@ -328,7 +338,7 @@ class PlainLayerGroup(nn.Module):
     @nn.compact
     def __call__(self, carry, _, y, t, x_mask, t0):
         cfg = self.cfg
-        x = carry
+        x = _name_carry(cfg, carry)
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
                       mlp_ratio=cfg.mlp_ratio, qk_norm=cfg.qk_norm,
                       neighbors=cfg.mv_order_map, dtype=cfg.dtype)
@@ -339,10 +349,30 @@ class PlainLayerGroup(nn.Module):
         return x, None
 
 
+_CARRY_NAME = "mdv2_layer_carry"
+
+
+def _name_carry(cfg, x):
+    """Tag a layer group's carry input for the offload_carry remat policy (the
+    named residual is what `save_and_offload_only_these_names` moves to host).
+    Identity unless the policy is active — jax's `checkpoint_name` is a plain
+    hint primitive, but keeping it out of the "full" path keeps those HLOs
+    byte-identical to round 2's."""
+    if cfg.grad_checkpoint and cfg.remat_policy == "offload_carry":
+        return jax.ad_checkpoint.checkpoint_name(x, _CARRY_NAME)
+    return x
+
+
 def _scan(module_cls, cfg, length, name, num_args: int = 5):
     target = module_cls
     if cfg.grad_checkpoint:
-        target = nn.remat(target, prevent_cse=False)
+        policy = None
+        if cfg.remat_policy == "offload_carry":
+            policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=[_CARRY_NAME],
+                offload_src="device", offload_dst="pinned_host")
+        target = nn.remat(target, prevent_cse=False, policy=policy)
     return nn.scan(
         target,
         variable_axes={"params": 0},

@@ -301,3 +301,31 @@ def test_simulate_sp_pad_matches_forced_pad():
     out_forced = MagicDriveSTDiT3(cfg_pad).apply(params, **batch, height=h, width=w)
     np.testing.assert_allclose(np.asarray(out_simu), np.asarray(out_forced),
                                atol=1e-6)
+
+
+def test_offload_carry_remat_matches_full():
+    """remat_policy="offload_carry" (per-layer carry residuals stashed in
+    pinned_host — the single-chip lever for buckets whose full-remat plan
+    exceeds HBM, reference --cpu-offload) must be a pure memory-placement
+    change: loss AND grads identical to plain full remat."""
+    import dataclasses
+
+    cfg = tiny_config(grad_checkpoint=True)
+    inputs = tiny_inputs(jax.random.PRNGKey(1))
+    model_full = MagicDriveSTDiT3(cfg)
+    params = model_full.init(jax.random.PRNGKey(7), **inputs)
+    model_off = MagicDriveSTDiT3(
+        dataclasses.replace(cfg, remat_policy="offload_carry"))
+
+    def loss_fn(model):
+        def f(p):
+            return (model.apply(p, **inputs) ** 2).mean()
+        return jax.jit(jax.value_and_grad(f))
+
+    l_full, g_full = loss_fn(model_full)(params)
+    l_off, g_off = loss_fn(model_off)(params)
+    np.testing.assert_allclose(float(l_full), float(l_off), rtol=1e-6)
+    flat_full = jax.tree_util.tree_leaves(g_full)
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    for a, b in zip(flat_full, flat_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
