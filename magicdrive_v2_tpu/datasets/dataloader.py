@@ -20,7 +20,8 @@ from typing import Any, Callable, Dict, Iterator, Optional
 from .collate import collate_clips
 from .sampler import BucketSampler, StatefulSampler
 
-__all__ = ["DataLoader", "prepare_dataloader"]
+__all__ = ["DataLoader", "prepare_dataloader", "prepare_multirank_dataloader",
+           "concat_batches"]
 
 _STOP = object()
 
@@ -113,3 +114,101 @@ def prepare_dataloader(dataset, *, bucket_config: Optional[Dict[str, int]] = Non
     loader = DataLoader(dataset, _Batches(), collate_fn=collate_fn,
                         num_workers=num_workers, prefetch=prefetch)
     return loader, sampler
+
+
+def _pad_boxes_to(d: Dict[str, Any], max_len: int) -> Dict[str, Any]:
+    """Pad a collated bboxes_3d_data dict (L at axis 3) to a common max_len,
+    with the same fill values collate_clips uses (classes -1, masks 0)."""
+    import numpy as np
+
+    cur = d["bboxes"].shape[3]
+    if cur == max_len:
+        return d
+
+    def pad(a, fill):
+        widths = [(0, 0)] * a.ndim
+        widths[3] = (0, max_len - cur)
+        return np.pad(a, widths, constant_values=fill)
+
+    return {"bboxes": pad(d["bboxes"], 0), "classes": pad(d["classes"], -1),
+            "masks": pad(d["masks"], 0)}
+
+
+def concat_batches(batches) -> Dict[str, Any]:
+    """Row-concat collate_clips outputs from the SAME bucket: arrays along axis
+    0 (bbox dicts re-padded to a common box count first), caption lists
+    appended, per-bucket scalars (height/width/num_frames) asserted equal."""
+    import numpy as np
+
+    if len(batches) == 1:
+        return batches[0]
+    out: Dict[str, Any] = {}
+    for k, v in batches[0].items():
+        if k in ("height", "width", "num_frames"):
+            assert all(b[k] == v for b in batches[1:]), \
+                f"rank batches diverged on bucket key {k}"
+            out[k] = v
+        elif v is None:
+            out[k] = None
+        elif isinstance(v, dict):
+            max_len = max(b[k]["bboxes"].shape[3] for b in batches)
+            padded = [_pad_boxes_to(b[k], max_len) for b in batches]
+            out[k] = {kk: np.concatenate([p[kk] for p in padded])
+                      for kk in padded[0]}
+        elif isinstance(v, list):
+            out[k] = [item for b in batches for item in b[k]]
+        else:
+            out[k] = np.concatenate([b[k] for b in batches])
+    return out
+
+
+class ConcatLoader:
+    """Zip one loader per local dp rank and row-concat their batches: the
+    global-batch assembly the reference gets from torchrun's per-rank processes
+    (reference dataloader.py + NCCL dp group). Single host: ranks 0..dp-1 give
+    the whole global batch; multi-host: each process builds only ITS dp rows
+    (parallel/distributed.local_dp_info) and make_global_batch stitches them."""
+
+    def __init__(self, loaders):
+        self.loaders = list(loaders)
+
+    def __len__(self):
+        return min(len(ld) for ld in self.loaders)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        for batches in zip(*self.loaders):
+            yield concat_batches(list(batches))
+
+
+class MultiRankSampler:
+    """Epoch/resume fan-out over the per-rank samplers backing a ConcatLoader
+    (identical access orders by construction — state is rank-invariant)."""
+
+    def __init__(self, samplers):
+        self.samplers = list(samplers)
+
+    def set_epoch(self, epoch: int):
+        for s in self.samplers:
+            s.set_epoch(epoch)
+
+    def state_dict(self, num_steps: int) -> dict:
+        return self.samplers[0].state_dict(num_steps)
+
+    def load_state_dict(self, state: dict):
+        for s in self.samplers:
+            s.load_state_dict(state)
+
+
+def prepare_multirank_dataloader(dataset, *, dp_total: int, dp_local: int,
+                                 dp_offset: int = 0, **kw):
+    """(loader, sampler) covering dp rows [dp_offset, dp_offset+dp_local) of a
+    dp_total-way data split — one prepare_dataloader per row, concatenated.
+    Single-process callers pass dp_local=dp_total, dp_offset=0 and get the full
+    global batch per step (batch_size rows per dp rank, reference semantics)."""
+    pairs = [prepare_dataloader(dataset, num_replicas=dp_total, rank=r, **kw)
+             for r in range(dp_offset, dp_offset + dp_local)]
+    loaders = [p[0] for p in pairs]
+    samplers = [p[1] for p in pairs]
+    if len(loaders) == 1:
+        return loaders[0], samplers[0]
+    return ConcatLoader(loaders), MultiRankSampler(samplers)

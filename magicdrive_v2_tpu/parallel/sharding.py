@@ -93,6 +93,25 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
     mesh = mesh or get_current_mesh()
     if mesh is None or mesh.size == 1:
         return vae_fn(x)
+    nproc = jax.process_count()
+    if nproc > 1:
+        # multi-host: x is this process's LOCAL rows; pad them to the local
+        # device count, assemble the global batch (process-major row blocks
+        # match make_mesh's device order), encode replicated-out, return the
+        # local rows of the replicated result
+        n_local = mesh.size // nproc
+        b = x.shape[0]
+        pad = (-b) % n_local
+        if pad:
+            x = jax.numpy.concatenate([x, x[:pad]], axis=0)
+        spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
+        xg = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+        fn = jax.jit(vae_fn, out_shardings=NamedSharding(mesh, P()))
+        with use_mesh(mesh):
+            out = fn(xg)
+        start = jax.process_index() * (b + pad)
+        return out[start:start + b]
     n = mesh.size
     b = x.shape[0]
     pad = (-b) % n

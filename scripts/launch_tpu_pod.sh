@@ -17,5 +17,7 @@ export JAX_PLATFORMS=tpu
 # bucket compiles are cached across steps; persistent cache across restarts:
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
-python -c "import jax; jax.distributed.initialize()" 2>/dev/null || true
+# the train app joins the cluster in-process (parallel/distributed.py
+# maybe_initialize -> argument-free jax.distributed.initialize on TPU pods)
+export MDV2_MULTIHOST=1
 exec python scripts/train_magicdrive.py "$CONFIG" "$@"

@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import functools
 import json
 import logging
@@ -38,8 +39,12 @@ def parse_args():
     return p.parse_args()
 
 
-def build_dataloader(cfg, dp: int, rank: int = 0):
-    from magicdrive_v2_tpu.datasets import prepare_dataloader
+def build_dataloader(cfg, dp: int, dp_local: int = None, dp_offset: int = 0):
+    """Loader for dp rows [dp_offset, dp_offset+dp_local) of a dp-way data
+    split (reference per-rank DataLoader semantics: batch_size per dp rank).
+    Single process: dp_local=dp covers the whole global batch; multi-host:
+    each process builds only its own rows (parallel/distributed)."""
+    from magicdrive_v2_tpu.datasets import prepare_multirank_dataloader
     from magicdrive_v2_tpu.registry import DATASETS, build_module
 
     ds_cfg = dict(cfg.dataset.data.train)
@@ -48,9 +53,11 @@ def build_dataloader(cfg, dp: int, rank: int = 0):
     if "img_collate_param_train" in cfg:
         ds_cfg.setdefault("img_collate_param", dict(cfg.img_collate_param_train))
     dataset = build_module(ds_cfg, DATASETS)
-    return prepare_dataloader(
-        dataset, bucket_config=dict(cfg.get("bucket_config", {})) or None,
-        batch_size=cfg.get("batch_size", 1), num_replicas=dp, rank=rank,
+    return prepare_multirank_dataloader(
+        dataset, dp_total=dp, dp_local=dp if dp_local is None else dp_local,
+        dp_offset=dp_offset,
+        bucket_config=dict(cfg.get("bucket_config", {})) or None,
+        batch_size=cfg.get("batch_size", 1),
         shuffle=True, seed=cfg.get("seed", 42),
         num_workers=cfg.get("num_workers", 4))
 
@@ -58,13 +65,15 @@ def build_dataloader(cfg, dp: int, rank: int = 0):
 class SyntheticLoader:
     """Stands in for the nuScenes loader: same batch contract, random content."""
 
-    def __init__(self, model_cfg, cfg, dp: int):
+    def __init__(self, model_cfg, cfg, dp: int, seed_offset: int = 0):
         self.model_cfg = model_cfg
         self.buckets = cfg.get("synthetic_buckets",
                                [(9, 224, 400)])  # (T_img, H, W)
         self.b = cfg.get("batch_size", 1) * dp
         self.steps = cfg.get("synthetic_steps", 50)
-        self.rng = np.random.default_rng(cfg.get("seed", 42))
+        # multi-host: seed_offset = dp row offset, so each process draws its
+        # own rows' content while the bucket SEQUENCE (i % len) stays aligned
+        self.rng = np.random.default_rng(cfg.get("seed", 42) + seed_offset)
 
     def __len__(self):
         return self.steps
@@ -85,6 +94,14 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    # multi-host: join the cluster BEFORE any device enumeration (no-op unless
+    # MDV2_MULTIHOST/MDV2_DIST_* are set — see parallel/distributed.py)
+    from magicdrive_v2_tpu.parallel.distributed import (is_main_process,
+                                                        local_dp_info,
+                                                        make_global_batch,
+                                                        maybe_initialize)
+    maybe_initialize()
 
     import jax
     import jax.numpy as jnp
@@ -111,7 +128,11 @@ def main():
     sp = min(cfg.get("sp_size", 1), n_dev)
     dp = n_dev // sp
     mesh = make_mesh(dp=dp, sp=sp)
-    logger.info("devices=%d mesh: dp=%d sp=%d", n_dev, dp, sp)
+    nproc = jax.process_count()
+    dp_local, dp_offset = local_dp_info(dp, sp)
+    logger.info("devices=%d mesh: dp=%d sp=%d (process %d/%d: dp rows "
+                "%d..%d)", n_dev, dp, sp, jax.process_index(), nproc,
+                dp_offset, dp_offset + dp_local - 1)
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[cfg.get("dtype", "bf16")]
     model_cfg = build_model_config(
@@ -119,17 +140,18 @@ def main():
         mv_order_map=cfg.get("mv_order_map"), dtype=dtype,
         enable_sequence_parallelism=sp > 1,
         force_pad_h_for_sp_size=cfg.get("force_pad_h_for_sp_size"),
-        grad_checkpoint=cfg.get("grad_checkpoint", True))
+        grad_checkpoint=cfg.get("grad_checkpoint", True),
+        remat_policy=cfg.get("remat_policy", "full"))
     model = MagicDriveSTDiT3(model_cfg)
     scheduler = build_scheduler(cfg.scheduler)
 
     # ---- data ----
     vae = text_encoder = None
     if args.synthetic or "dataset" not in cfg:
-        loader = SyntheticLoader(model_cfg, cfg, dp)
+        loader = SyntheticLoader(model_cfg, cfg, dp_local, seed_offset=dp_offset)
         sampler = None
     else:
-        raw_loader, sampler = build_dataloader(cfg, dp)
+        raw_loader, sampler = build_dataloader(cfg, dp, dp_local, dp_offset)
         # reference "encode" stage (train_magicdrive.py:513-540): collate -> VAE
         # latents over the mesh (sp_vae) -> T5 text embeddings -> model layout
         from magicdrive_v2_tpu.datasets import clip_to_model_batch
@@ -205,10 +227,17 @@ def main():
         width = float(example.pop("width", 400))
         init_keys = ("x", "y", "maps", "bbox", "cams", "rel_pos", "fps")
         init_batch = {k: example[k] for k in init_keys if k in example}
-        params = model.init(jax.random.PRNGKey(cfg.get("seed", 42)),
-                            **init_batch, timestep=jnp.full((1,), 500.0)
-                            if "timestep" not in example else example["timestep"],
-                            height=height, width=width)
+        # multi-host: init runs host-locally (mesh hints off — eager resharding
+        # of process-local arrays to the global mesh is undefined); params are
+        # identical on every process (same seed, shape-only initializers) and
+        # shard_params device_puts them into the global shardings below
+        init_mesh_ctx = use_mesh(None) if nproc > 1 else contextlib.nullcontext()
+        with init_mesh_ctx:
+            params = model.init(jax.random.PRNGKey(cfg.get("seed", 42)),
+                                **init_batch, timestep=jnp.full((1,), 500.0)
+                                if "timestep" not in example
+                                else example["timestep"],
+                                height=height, width=width)
         logger.info("model params: %s", format_numel_str(count_params(params)))
         params, _ = shard_params(params, mesh)
 
@@ -258,11 +287,12 @@ def main():
         host_rng = pyrandom.Random(cfg.get("seed", 42) + 2)
         metrics_path = os.path.join(exp_dir, "metrics.jsonl")
         tb = None
-        try:  # TensorBoard scalars (reference train_magicdrive.py:653-661)
-            from torch.utils.tensorboard import SummaryWriter
-            tb = SummaryWriter(os.path.join(exp_dir, "tb"))
-        except Exception:
-            pass
+        if is_main_process():
+            try:  # TensorBoard scalars (reference train_magicdrive.py:653-661)
+                from torch.utils.tensorboard import SummaryWriter
+                tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+            except Exception:
+                pass
         t_start = time.time()
 
         # ---- in-training validation (reference train_magicdrive.py:700-713,
@@ -272,6 +302,14 @@ def main():
 
         def maybe_validate(cur_step, cur_state):
             if not report_every or cur_step % report_every != 0:
+                return
+            if nproc > 1:
+                # in-training rendering is a single-controller path (pipeline
+                # jits without the global mesh; EMA params are dp-sharded) —
+                # render from checkpoints offline in multi-host runs
+                if is_main_process():
+                    logger.info("validation skipped under multi-host (step %d)",
+                                cur_step)
                 return
             from magicdrive_v2_tpu.pipelines.magicdrive import (
                 MagicDrivePipeline, synthetic_batch)
@@ -372,6 +410,12 @@ def main():
                         host_rng, b, t_img_b, drop_cond_ratio, drop_cond_ratio_t)
                     batch["drop_cond_mask"] = jnp.asarray(dc)
                     batch["drop_frame_mask"] = jnp.asarray(df)
+                if nproc > 1:
+                    # stitch each process's dp rows into global arrays for the
+                    # SPMD step (host RNG draws above are per-LOCAL-row; the
+                    # simulate_sp choice stays aligned: same host_rng sequence
+                    # on every process)
+                    batch = make_global_batch(batch, mesh)
                 rng, step_key = jax.random.split(rng)
                 t_step = time.time()
                 state, metrics = step_fn(state, batch, step_key)
@@ -384,11 +428,12 @@ def main():
                     if record_time:
                         line["step_s"] = round(time.time() - t_step, 3)
                     logger.info("%s", line)
-                    with open(metrics_path, "a") as f:
-                        f.write(json.dumps(line) + "\n")
-                    if tb is not None:
-                        tb.add_scalar("loss", loss, step)
-                        tb.add_scalar("grad_norm", line["grad_norm"], step)
+                    if is_main_process():
+                        with open(metrics_path, "a") as f:
+                            f.write(json.dumps(line) + "\n")
+                        if tb is not None:
+                            tb.add_scalar("loss", loss, step)
+                            tb.add_scalar("grad_norm", line["grad_norm"], step)
                     if not np.isfinite(loss):
                         raise FloatingPointError(f"NaN loss at step {step}")
                 if step % ckpt_every == 0:

@@ -129,3 +129,39 @@ def test_train_app_on_real_data(tmp_path):
     assert os.path.isdir(val_dir) and os.listdir(val_dir), proc.stdout[-2000:]
     assert "falling back to first-training-batch" not in proc.stderr + proc.stdout
     assert os.path.isdir(os.path.join(out_dir, "global_step2", "model"))
+
+
+@pytest.mark.slow
+def test_train_app_multiprocess(tmp_path):
+    """TRUE multi-host shape: 2 JAX processes x 4 virtual CPU devices, one
+    global (dp=4, sp=2) mesh. Each process builds only its own dp rows
+    (local_dp_info + rank-sliced loaders), make_global_batch stitches them, and
+    the SPMD train step + final orbax checkpoint run collectively. Mirrors the
+    reference's torchrun/NCCL deployment (sbatch_stage3.sh, 32 GPUs = 4 hosts)."""
+    out_dir = str(tmp_path / "mp")
+    base_env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
+                    XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                    JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jaxcache_cpu"),
+                    MDV2_DIST_NPROCS="2", MDV2_DIST_COORD="localhost:29417")
+    cmd = [sys.executable, os.path.join(REPO, "scripts/train_magicdrive.py"),
+           os.path.join(REPO, "configs/magicdrive/train/smoke_tiny.py"),
+           "--synthetic", "--max-steps", "2", "--cfg-options",
+           f"outputs={out_dir}", "sp_size=2", "log_every=1", "report_every=0"]
+    procs = [subprocess.Popen(cmd, env=dict(base_env, MDV2_DIST_PROCID=str(i)),
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, cwd=REPO) for i in range(2)]
+    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-4000:]}"
+    assert "dp=4 sp=2 (process 0/2: dp rows 0..1)" in outs[0], outs[0][-2000:]
+    assert "dp=4 sp=2 (process 1/2: dp rows 2..3)" in outs[1], outs[1][-2000:]
+    # identical global program => identical losses on both controllers
+    import re
+    losses = [re.findall(r"'loss': ([0-9.eE+-]+)", o) for o in outs]
+    assert losses[0] and losses[0] == losses[1], (losses[0][:4], losses[1][:4])
+    # collective checkpoint written once
+    assert os.path.isdir(os.path.join(out_dir, "global_step2", "model")), outs[0][-1500:]
+    # only process 0 wrote metrics
+    metrics = [json.loads(ln) for ln in
+               open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert len(metrics) == 2, metrics
