@@ -175,8 +175,10 @@ def train424_metric():
     remat + differentiable scan-chunked attention (MDV2_TRAIN_CHUNK_ATTN
     bounds fp32-logit transients in fwd AND bwd — the r2 memory wall was the
     XLA plan's ~28 GB of attention transients). Reference: 32-34 s/it at bs=6
-    per dp-group on 32 GPUs sp=4 (BASELINE.md rows 21-28). Runs LAST so the
-    cumulative peak_bytes_in_use is attributable to this phase."""
+    per dp-group on 32 GPUs sp=4 (BASELINE.md rows 21-28). Memory figure:
+    train424_plan_mem_gb (XLA allocation plan) — peak_bytes_in_use is
+    process-cumulative and the 848p phase runs earlier, so it is not read
+    here."""
     import dataclasses
     import gc
 
@@ -276,9 +278,9 @@ def train424_metric():
                    train424_plan_mem_gb=plan_mem,
                    train424_shape=f"6x424x800x17f bs=1 {mode} fwd+bwd "
                                   "scan-chunked-attn")
-        mem = _peak_mem_gb()
-        if mem is not None:
-            res["train424_peak_mem_gb"] = mem
+        # no _peak_mem_gb here: peak_bytes_in_use is process-cumulative and the
+        # 848p forward phase runs first — the per-phase memory figure for this
+        # shape is train424_plan_mem_gb (XLA's allocation plan)
         return res
     finally:
         os.environ.pop("MDV2_TRAIN_CHUNK_ATTN", None)
@@ -287,8 +289,10 @@ def train424_metric():
 def fwd848_metric():
     """Single-CFG forward latency + peak memory at 6x848x1600x17f — the
     reference's headline high-resolution shape (BASELINE.md rows 9-16 are its
-    peak-memory table). Runs LAST in the bench so the process-cumulative
-    `peak_bytes_in_use` is attributable to this phase (it is the largest)."""
+    peak-memory table). `peak_bytes_in_use` is process-cumulative; this is the
+    largest phase of the run (earlier phases: 424p inference + 224p train), so
+    the high-water mark read here is attributable to it — fwd848_plan_mem_gb
+    is the per-phase exact figure either way."""
     import gc
 
     import jax

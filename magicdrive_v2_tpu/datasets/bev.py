@@ -206,7 +206,12 @@ class LoadBEVSegmentation:
             return zeros
         try:
             map_api = self._map_api_for(location)
-        except (ImportError, FileNotFoundError, OSError) as e:
+        except (ImportError, FileNotFoundError, OSError,
+                AssertionError, ValueError, KeyError) as e:
+            # AssertionError/ValueError/KeyError: the devkit asserts location
+            # against its hardcoded list and json-parses the expansion files —
+            # an unknown location or corrupt asset must degrade to zero layers
+            # (with the one-time warning below), not kill the training worker
             if location not in self._warned_locations:
                 self._warned_locations.add(location)
                 logging.getLogger(__name__).warning(

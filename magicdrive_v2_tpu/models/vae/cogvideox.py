@@ -567,8 +567,9 @@ class VideoAutoencoderKLCogVideoX:
             return (cache, key), chunk_z(moments, sub)
 
         (_, _), zs = jax.lax.scan(body, (cache, rng), xr)
-        # (n, B, Cl, t', H', W') -> time-concat after the first chunk
-        zs = jnp.moveaxis(zs, 0, 3)
+        # (n, B, Cl, t', H', W') -> time-concat after the first chunk: the scan
+        # (chunk) axis must be the SLOW side of the merged time axis
+        zs = jnp.moveaxis(zs, 0, 2)
         zs = zs.reshape(z0.shape[0], z0.shape[1], -1, *z0.shape[3:])
         return jnp.concatenate([z0, zs], axis=2)
 
@@ -617,7 +618,8 @@ class VideoAutoencoderKLCogVideoX:
             return cache, out
 
         _, outs = jax.lax.scan(body, cache, zr)
-        outs = jnp.moveaxis(outs, 0, 3)
+        # (n, B, 3, t_out, H, W): scan (chunk) axis slow-side of merged time
+        outs = jnp.moveaxis(outs, 0, 2)
         outs = outs.reshape(out0.shape[0], out0.shape[1], -1, *out0.shape[3:])
         return jnp.concatenate([out0, outs], axis=2)
 

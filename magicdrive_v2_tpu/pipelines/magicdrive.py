@@ -125,7 +125,8 @@ class MagicDrivePipeline:
                     example_batch["t_inpaint"] = jnp.full((1,), 300.0)
                     example_batch["rngs_key"] = jax.random.PRNGKey(0)
             params = model.init(k1, **example_batch)
-            vae.init(k2)
+            if vae.params is None:  # keep load_pretrained weights if present
+                vae.init(k2)
         pipe = cls(model, params, vae, text_encoder, scheduler, cfg)
         return pipe
 
@@ -172,11 +173,14 @@ class MagicDrivePipeline:
 
     # ------------------------------------------------------------------
     def _build_predict_fn(self, model_args: Dict, guidance_scale, slice_cfg: bool,
-                          z_shape=None, null_y=None, params=None):
+                          z_shape=None, null_y=None, params=None,
+                          use_map0: bool = False):
         """Returns predict(z, t, x_mask) -> CFG-combined velocity; model_args hold the
         conditioning (already doubled for batched CFG). z_shape (the latent shape)
         enables the per-sample condition cache. null_y overrides the y_embedder null
-        embedding in CFG (reference neg_prompts, rf/__init__.py:58-59).
+        embedding in CFG (reference neg_prompts, rf/__init__.py:58-59). use_map0:
+        the uncond half sees a ZEROED map instead of the conditional one
+        (reference add_null_condition use_map0, inference_utils.py:273-280).
 
         Pure in (params, model_args, null_y, guidance_scale): safe to call under
         jit with tracers for all of them (the jit-cached sample path does)."""
@@ -199,7 +203,8 @@ class MagicDrivePipeline:
                          method=type(self.model).encode_conditions)
 
         if not slice_cfg:
-            args2 = add_null_condition(model_args, uncond_cam, uncond_rel_pos)
+            args2 = add_null_condition(model_args, uncond_cam, uncond_rel_pos,
+                                       use_map0=use_map0)
             args2["y"] = jnp.concatenate([model_args["y"], null_y], axis=0)
             # computed HERE (outside the sampler's lax.scan) so the 30-step loop
             # reuses the same embedded conditions
@@ -221,7 +226,7 @@ class MagicDrivePipeline:
 
         null_args = replace_with_null_condition(
             model_args, uncond_cam, uncond_rel_pos, null_y,
-            ["y", "bbox", "cams", "rel_pos"])
+            ["y", "bbox", "cams", "rel_pos"] + (["maps"] if use_map0 else []))
         cache_c = cond_cache_for(model_args, z_shape) if z_shape is not None else None
         cache_n = cond_cache_for(null_args, z_shape) if z_shape is not None else None
 
@@ -237,41 +242,52 @@ class MagicDrivePipeline:
 
         return predict
 
-    def _jit_sample_fn(self, sched, height, width, num_frames):
-        """Jit-compiled whole-sample program (condition embed + CFG + Euler scan),
-        cached per (scheduler state, pixel shape). Without this every `sample`
-        call re-traces the 30-step loop (~30 s host time at the tiny-test shape
+    def _cached_jit(self, kind, sched, height, width, num_frames, extra, build):
+        """Per-(program kind, scheduler identity+state, pixel shape, extra
+        statics) jit cache. Without it every `sample`/`sample_repaint` call
+        re-traces the 30-step loop (~30 s host time at the tiny-test shape
         alone); with it, repeat calls at a shape bucket reuse the executable —
         the reference keeps torch modules resident instead (inference loop,
         scripts/inference_magicdrive.py:334-539). jit's own signature cache
         handles z/conditioning shape and mask-None variation under each key."""
         import dataclasses as _dc
 
-        key = ("sample", float(height), float(width), int(num_frames),
-               _dc.astuple(sched))
+        key = (kind, type(sched).__name__, float(height), float(width),
+               int(num_frames), _dc.astuple(sched), extra)
         fn = self._sample_fns.get(key)
         if fn is None:
-            hf, wf, nf = float(height), float(width), float(num_frames)
-            slice_cfg = sched.slice_cfg
+            fn = jax.jit(build())
+            self._sample_fns[key] = fn
+        return fn
 
+    def _jit_sample_fn(self, sched, height, width, num_frames,
+                       use_map0: bool = False):
+        """Jit-compiled whole-sample program (condition embed + CFG + Euler
+        scan), cached per (scheduler, pixel shape, use_map0)."""
+        hf, wf, nf = float(height), float(width), float(num_frames)
+        slice_cfg = sched.slice_cfg
+
+        def build():
             def core(params, z, rng, model_args, null_y, mask, scale):
                 predict = self._build_predict_fn(
                     {**model_args, "height": hf, "width": wf}, scale, slice_cfg,
-                    z_shape=tuple(z.shape), null_y=null_y, params=params)
+                    z_shape=tuple(z.shape), null_y=null_y, params=params,
+                    use_map0=use_map0)
                 bsz = z.shape[0]
                 hw = dict(height=jnp.full((bsz,), hf), width=jnp.full((bsz,), wf),
                           num_frames=jnp.full((bsz,), nf))
                 return sched.sample(predict, z, mask=mask, rng=rng, **hw)
 
-            fn = jax.jit(core)
-            self._sample_fns[key] = fn
-        return fn
+            return core
+
+        return self._cached_jit("sample", sched, height, width, num_frames,
+                                bool(use_map0), build)
 
     def sample(self, batch: Dict, *, num_frames: int, height: int, width: int,
                rng: Optional[jax.Array] = None, z: Optional[jnp.ndarray] = None,
                mask: Optional[jnp.ndarray] = None, guidance_scale: Optional[float] = None,
                decode: bool = True, torch_seed: Optional[int] = None,
-               neg_prompts: Optional[list] = None):
+               neg_prompts: Optional[list] = None, use_map0: bool = False):
         """Generate a sample.
 
         batch: dict with y (B,1,L,4096) [or 'captions' strings], maps, bbox, cams,
@@ -310,7 +326,8 @@ class MagicDrivePipeline:
         else:
             null_y = self.null_y(b)  # host-side text-encoder read, cheap
 
-        samples = self._jit_sample_fn(sched, height, width, num_frames)(
+        samples = self._jit_sample_fn(sched, height, width, num_frames,
+                                      use_map0=use_map0)(
             self.params, z, rng, model_args, null_y, mask,
             jnp.float32(guidance_scale))
         if not decode:
@@ -329,20 +346,15 @@ class MagicDrivePipeline:
         """RePaint latent inpainting (reference rf/__init__.py:780-888), jit-cached
         like `sample`. ref_z: (B, C*NC, T', H', W') reference latents; lat_mask same
         shape, 1 = region kept from the (noised) reference."""
-        import dataclasses as _dc
-
         sched = scheduler if scheduler is not None else self.scheduler
         if guidance_scale is None:
             guidance_scale = sched.cfg_scale
         model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
                                             "fps") if k in batch}
         null_y = self.null_y(model_args["y"].shape[0])
-        key = ("repaint", float(height), float(width), int(num_frames),
-               _dc.astuple(sched))
-        fn = self._sample_fns.get(key)
-        if fn is None:
-            hf, wf, nf = float(height), float(width), float(num_frames)
+        hf, wf, nf = float(height), float(width), float(num_frames)
 
+        def build():
             def core(params, ref_z, mask, rng, model_args, null_y, scale):
                 predict = self._build_predict_fn(
                     {**model_args, "height": hf, "width": wf}, scale, True,
@@ -350,8 +362,10 @@ class MagicDrivePipeline:
                 return sched.sample_repaint(predict, ref_z, mask, height=hf,
                                             width=wf, num_frames=nf, rng=rng)
 
-            fn = jax.jit(core)
-            self._sample_fns[key] = fn
+            return core
+
+        fn = self._cached_jit("repaint", sched, height, width, num_frames,
+                              None, build)
         return fn(self.params, jnp.asarray(ref_z), jnp.asarray(lat_mask), rng,
                   model_args, null_y, jnp.float32(guidance_scale))
 

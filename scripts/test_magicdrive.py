@@ -163,8 +163,10 @@ def main():
             return batch, [f"scene_{cfg.validation_index[ns]}"]
         indices = (cfg.get("validation_index", [0]))[: args.num_samples or None]
 
-    if cfg.get("use_map0", False):
-        # CFG null map = zeros instead of the learned uncond map
+    use_map0 = bool(cfg.get("use_map0", False))
+    if use_map0:
+        # CFG null map = zeros instead of the learned uncond map (reference
+        # add_null_condition use_map0, inference_utils.py:273-280)
         logger.info("use_map0: zeroed uncond maps in CFG")
 
     guidance = cfg.scheduler.get("cfg_scale", 2.0)
@@ -204,7 +206,7 @@ def main():
                 batch["rngs_key"] = jax.random.PRNGKey(1024 + ns)
         rng = jax.random.PRNGKey(1024 + ns)
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
-                           guidance_scale=guidance, rng=rng,
+                           guidance_scale=guidance, rng=rng, use_map0=use_map0,
                            torch_seed=1024 + ns)  # reference seed contract
         for bi in range(vids.shape[0]):
             sample = vids[bi]  # (NC, 3, T, H, W)

@@ -133,6 +133,24 @@ def main():
     logger.info("devices=%d mesh: dp=%d sp=%d (process %d/%d: dp rows "
                 "%d..%d)", n_dev, dp, sp, jax.process_index(), nproc,
                 dp_offset, dp_offset + dp_local - 1)
+    if nproc > 1:
+        # startup barrier (reference torch.distributed.barrier): fail fast on a
+        # broken cluster, and pre-establish the collective contexts for every
+        # mesh-axis group (full mesh + dp columns + sp rows) while all
+        # controllers are at the same point — the transport rendezvous (e.g.
+        # gloo's, ~30 s deadline) must not first fire mid-run when one
+        # controller is deep in an XLA compile and the others are waiting
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("mdv2:startup")
+        warm = jax.device_put(np.zeros((dp, sp), np.float32),
+                              NamedSharding(mesh, P("dp", "sp")))
+        warm_fn = jax.jit(jax.shard_map(
+            lambda x: (jax.lax.psum(x, "dp"), jax.lax.psum(x, "sp"),
+                       jax.lax.psum(x, ("dp", "sp"))),
+            mesh=mesh, in_specs=P("dp", "sp"),
+            out_specs=(P(None, "sp"), P("dp", None), P())))
+        jax.block_until_ready(warm_fn(warm))
+        logger.info("multi-host barrier passed (%d processes)", nproc)
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[cfg.get("dtype", "bf16")]
     model_cfg = build_model_config(
@@ -267,8 +285,14 @@ def main():
             logger.info("resumed from %s at step %d", latest, start_step)
 
         # ---- loop ----
+        # host-side RNGs draw PER-LOCAL-ROW content (frame masks, condition
+        # dropout): offset by dp_offset so different hosts' rows get i.i.d.
+        # draws (the reference's per-rank torch generators differ by rank).
+        # simulate_sp stays on the COMMON host_rng below — it picks the
+        # compiled program and must agree on every controller.
         mask_gen = MaskGenerator(dict(cfg.get("mask_ratios", {})),
-                                 rng=pyrandom.Random(cfg.get("seed", 42)))
+                                 rng=pyrandom.Random(cfg.get("seed", 42)
+                                                     + dp_offset * 7919))
         # simulate_sp_size (reference magicdrive_stdit3.py:1056-1089): random
         # training-time H-pad from this list so one checkpoint runs at any of
         # these sp sizes without the grid effect. Only values >= the real sp are
@@ -285,6 +309,8 @@ def main():
         record_time = cfg.get("record_time", False)
         rng = jax.random.PRNGKey(cfg.get("seed", 42) + 1)
         host_rng = pyrandom.Random(cfg.get("seed", 42) + 2)
+        drop_rng = host_rng if nproc == 1 else \
+            pyrandom.Random(cfg.get("seed", 42) + 2 + (dp_offset + 1) * 7919)
         metrics_path = os.path.join(exp_dir, "metrics.jsonl")
         tb = None
         if is_main_process():
@@ -407,7 +433,7 @@ def main():
                     mask_gen.get_masks(b, lat_t), jnp.float32)
                 if drop_cond_ratio > 0:
                     dc, df = sample_condition_dropout(
-                        host_rng, b, t_img_b, drop_cond_ratio, drop_cond_ratio_t)
+                        drop_rng, b, t_img_b, drop_cond_ratio, drop_cond_ratio_t)
                     batch["drop_cond_mask"] = jnp.asarray(dc)
                     batch["drop_frame_mask"] = jnp.asarray(df)
                 if nproc > 1:

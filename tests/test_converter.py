@@ -305,3 +305,23 @@ def test_validate_reports_missing_tokens(infos, tmp_path, capsys):
     b = _dump(tmp_path, "b.pkl", mut)
     assert vi.main([a, b]) == 1
     assert "only-ours" in capsys.readouterr().out
+
+
+def test_validate_detects_dropped_box(infos, tmp_path, capsys):
+    """Our side missing a box the reference has (a strict id-subset) must FAIL —
+    the permutation may not silently drop reference-only rows."""
+    mut = copy.deepcopy(infos)  # plays "ours", one box removed
+    for info in mut["train"]["infos"]:
+        n = len(info.get("gt_box_ids", ()))
+        if n > 1:
+            keep = np.arange(n - 1)
+            for f in ("gt_boxes", "gt_velocity", "gt_names", "gt_box_ids",
+                      "num_lidar_pts", "num_radar_pts", "visibility",
+                      "valid_flag"):
+                if f in info and len(info[f]) == n:
+                    info[f] = np.asarray(info[f])[keep]
+            break
+    a = _dump(tmp_path, "a.pkl", mut)
+    b = _dump(tmp_path, "b.pkl", infos)
+    assert vi.main([a, b]) == 1
+    assert "unalignable box ids" in capsys.readouterr().out

@@ -193,3 +193,36 @@ def test_neg_prompts_change_cfg_output(pipe):
                         decode=False, rng=jax.random.PRNGKey(3),
                         neg_prompts=["rain, night"])
     assert not np.allclose(np.asarray(s_null), np.asarray(s_neg))
+
+
+def test_use_map0_zeroes_uncond_map(pipe):
+    """use_map0: the uncond half of the CFG batch must see a ZEROED map
+    (reference add_null_condition use_map0, inference_utils.py:273-280) — at
+    random init the zero-init control projections hide it from the output, so
+    assert at the condition-doubling level — and it must get its own jit-cache
+    entry (different compiled program)."""
+    from magicdrive_v2_tpu.utils.inference_utils import add_null_condition
+
+    batch = _cond_batch(Config(TINY_CFG))
+    args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos", "fps")}
+    args["maps"] = args["maps"] + 1.0
+    doubled = add_null_condition(args, pipe.uncond_cam, pipe.uncond_rel_pos,
+                                 use_map0=True)
+    b = args["maps"].shape[0]
+    assert doubled["maps"].shape[0] == 2 * b
+    np.testing.assert_array_equal(np.asarray(doubled["maps"][b:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(doubled["maps"][:b]),
+                                  np.asarray(args["maps"]))
+    # without the flag the uncond half reuses the conditional map
+    plain = add_null_condition(args, pipe.uncond_cam, pipe.uncond_rel_pos)
+    np.testing.assert_array_equal(np.asarray(plain["maps"][b:]),
+                                  np.asarray(args["maps"]))
+
+    # distinct jit-cache entries per use_map0 value
+    z = jnp.zeros((1, 24, 3, 4, 5), jnp.float32)
+    kw = dict(num_frames=9, height=32, width=40, z=z, decode=False,
+              rng=jax.random.PRNGKey(3))
+    pipe._sample_fns.clear()
+    pipe.sample(batch, **kw)
+    pipe.sample(batch, use_map0=True, **kw)
+    assert len(pipe._sample_fns) == 2

@@ -138,19 +138,31 @@ def test_train_app_multiprocess(tmp_path):
     (local_dp_info + rank-sliced loaders), make_global_batch stitches them, and
     the SPMD train step + final orbax checkpoint run collectively. Mirrors the
     reference's torchrun/NCCL deployment (sbatch_stage3.sh, 32 GPUs = 4 hosts)."""
-    out_dir = str(tmp_path / "mp")
     base_env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
                     XLA_FLAGS="--xla_force_host_platform_device_count=4",
                     JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jaxcache_cpu"),
                     MDV2_DIST_NPROCS="2", MDV2_DIST_COORD="localhost:29417")
-    cmd = [sys.executable, os.path.join(REPO, "scripts/train_magicdrive.py"),
-           os.path.join(REPO, "configs/magicdrive/train/smoke_tiny.py"),
-           "--synthetic", "--max-steps", "2", "--cfg-options",
-           f"outputs={out_dir}", "sp_size=2", "log_every=1", "report_every=0"]
-    procs = [subprocess.Popen(cmd, env=dict(base_env, MDV2_DIST_PROCID=str(i)),
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, cwd=REPO) for i in range(2)]
-    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    for attempt in range(2):
+        out_dir = str(tmp_path / f"mp{attempt}")
+        cmd = [sys.executable, os.path.join(REPO, "scripts/train_magicdrive.py"),
+               os.path.join(REPO, "configs/magicdrive/train/smoke_tiny.py"),
+               "--synthetic", "--max-steps", "2", "--cfg-options",
+               f"outputs={out_dir}", "sp_size=2", "log_every=1",
+               "report_every=0"]
+        procs = [subprocess.Popen(cmd,
+                                  env=dict(base_env, MDV2_DIST_PROCID=str(i)),
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT,
+                                  text=True, cwd=REPO) for i in range(2)]
+        outs = [p.communicate(timeout=1100)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 0 and any("Gloo context initialization failed" in o
+                                for o in outs):
+            # environmental: gloo's fixed ~30 s rendezvous deadline vs two
+            # SPMD processes time-slicing ONE cpu core; retry once
+            continue
+        break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-4000:]}"
     assert "dp=4 sp=2 (process 0/2: dp rows 0..1)" in outs[0], outs[0][-2000:]

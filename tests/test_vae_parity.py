@@ -100,13 +100,16 @@ def test_streaming_encode_parity(pair):
     from magicdrive_v2_tpu.models.vae.cogvideox import VideoAutoencoderKLCogVideoX
 
     tmod, fmod, params = pair
-    T = 17  # 8n+1: first chunk takes 9 frames, then one chunk of 8
+    # 8n+1 with n=3: first chunk takes 9 frames, then TWO scan chunks of 8 —
+    # exercises the multi-chunk time-concat order (chunk axis must merge as
+    # the slow side), which T=17 (single scan chunk) cannot catch
+    T = 25
     x = np.random.default_rng(3).standard_normal((1, 3, T, 16, 16)).astype(np.float32)
 
     # torch chunked-with-cache moments, mirroring wrapper._encode chunking
     with torch.no_grad():
         xt = torch.tensor(x)
-        chunks = [xt[:, :, :9], xt[:, :, 9:]]
+        chunks = [xt[:, :, :9], xt[:, :, 9:17], xt[:, :, 17:]]
         want = torch.cat([tmod.encoder(c) for c in chunks], dim=2).numpy()
     tmod._clear_fake_context_parallel_cache()
 
@@ -120,11 +123,11 @@ def test_streaming_encode_parity(pair):
 
     got = np.asarray(vae.encode(jnp.asarray(x), sample=False))
     want_mode = want[:, :TINY["latent_channels"]] * vae.scaling_factor
-    assert got.shape == want_mode.shape == (1, 4, 5, 2, 2)
+    assert got.shape == want_mode.shape == (1, 4, 7, 2, 2)
     assert np.max(np.abs(got - want_mode)) < 3e-4, np.max(np.abs(got - want_mode))
 
     # latent count agrees with get_latent_size under micro_frame chunking
-    assert vae.get_latent_size([T, 16, 16]) == [5, 2, 2]
+    assert vae.get_latent_size([T, 16, 16]) == [7, 2, 2]
 
 
 def test_streaming_decode_parity(pair):
@@ -138,7 +141,9 @@ def test_streaming_decode_parity(pair):
                                                         VideoAutoencoderKLCogVideoX)
 
     tmod, fmod, params = pair
-    z = np.random.default_rng(4).standard_normal((1, 4, 5, 4, 4)).astype(np.float32)
+    # T'=7 latents: first chunk 3, then TWO scan chunks of 2 — exercises the
+    # multi-chunk pixel-concat order (T'=5 gives a single scan chunk)
+    z = np.random.default_rng(4).standard_normal((1, 4, 7, 4, 4)).astype(np.float32)
     with torch.no_grad():
         want = tmod._decode(torch.tensor(z)).sample.numpy()
     tmod._clear_fake_context_parallel_cache()
@@ -152,7 +157,7 @@ def test_streaming_decode_parity(pair):
     vae.params = params
 
     got = np.asarray(vae.decode(jnp.asarray(z)))
-    assert got.shape == want.shape == (1, 3, 17, 32, 32)
+    assert got.shape == want.shape == (1, 3, 25, 32, 32)
     assert np.max(np.abs(got - want)) < 5e-3, np.max(np.abs(got - want))
 
 
@@ -191,3 +196,43 @@ def test_wrapper_load_pretrained_dir(pair, tmp_path):
     # decode round-trip shape contract
     dec = np.asarray(vae.decode(jnp.asarray(got)))
     assert dec.shape == (1, 3, 9, 16, 16)
+
+
+def test_pipeline_from_config_keeps_pretrained_vae(pair, tmp_path):
+    """MagicDrivePipeline.from_config(init_params=True) — the path every
+    inference app takes — must NOT re-init the VAE after load_pretrained
+    installed real weights (regression: vae.init(k2) used to clobber them)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.config import Config
+    from magicdrive_v2_tpu.pipelines.magicdrive import (MagicDrivePipeline,
+                                                        synthetic_batch)
+
+    tmod, _, _ = pair
+    d = tmp_path / "vae"
+    d.mkdir()
+    cfg_json = dict(TINY)
+    cfg_json["block_out_channels"] = list(TINY["block_out_channels"])
+    (d / "config.json").write_text(json.dumps(cfg_json))
+    torch.save(tmod.state_dict(), d / "diffusion_pytorch_model.bin")
+
+    from test_pipeline import TINY_CFG, _model_cfg
+    cfg = Config({**TINY_CFG, "vae_out_channels": 4,
+                  "vae": dict(from_pretrained=str(tmp_path), subfolder="vae",
+                              micro_frame_size=None)})
+    pipe = MagicDrivePipeline.from_config(
+        cfg, rng=jax.random.PRNGKey(0),
+        example_batch=synthetic_batch(_model_cfg(cfg), num_frames=9, height=32,
+                                      width=40, l_txt=8, caption_channels=16,
+                                      map_size=(8, 40, 40)))
+
+    x = np.random.default_rng(5).standard_normal((1, 3, 9, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod.encoder(torch.tensor(x)).numpy()[:, :4] \
+            * pipe.vae.scaling_factor
+    tmod._clear_fake_context_parallel_cache()
+    got = np.asarray(pipe.vae.encode(jnp.asarray(x), sample=False))
+    assert np.max(np.abs(got - want)) < 2e-4, \
+        "from_config lost the pretrained VAE weights"

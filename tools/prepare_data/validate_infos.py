@@ -101,9 +101,19 @@ def _box_perm(a_info, b_info):
     ids_a = a_info.get("gt_box_ids")
     ids_b = b_info.get("gt_box_ids")
     if ids_a is None or ids_b is None:
+        n_a = len(np.asarray(a_info.get("gt_boxes", ())))
+        n_b = len(np.asarray(b_info.get("gt_boxes", ())))
+        if n_a != n_b:
+            return None, f"box count differs ({n_a} ours vs {n_b} reference)"
         return None, None
-    pos_b = {bid: i for i, bid in enumerate(np.asarray(ids_b).tolist())}
-    perm = [pos_b.get(bid, -1) for bid in np.asarray(ids_a).tolist()]
+    ids_a = np.asarray(ids_a).tolist()
+    ids_b = np.asarray(ids_b).tolist()
+    if len(ids_a) != len(ids_b):
+        # a strict-subset permutation would silently drop reference-only boxes
+        # (exactly the converter-lost-a-box failure this validator must catch)
+        return None, f"box count differs ({len(ids_a)} ours vs {len(ids_b)} reference)"
+    pos_b = {bid: i for i, bid in enumerate(ids_b)}
+    perm = [pos_b.get(bid, -1) for bid in ids_a]
     if any(p < 0 for p in perm) or len(set(perm)) != len(perm):
         return None, "box-id sets differ"
     return np.asarray(perm), None
