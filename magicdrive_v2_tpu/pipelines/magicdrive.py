@@ -31,13 +31,18 @@ from ..parallel.sharding import get_current_mesh, shard_hint, use_mesh
 
 class MagicDrivePipeline:
     def __init__(self, model: MagicDriveSTDiT3, params, vae: VideoAutoencoderKLCogVideoX,
-                 text_encoder, scheduler: RFLOW, cfg=None):
+                 text_encoder, scheduler: RFLOW, cfg=None, mesh=None):
         self.model = model
         self.params = params
         self.vae = vae
         self.text_encoder = text_encoder
         self.scheduler = scheduler
         self.cfg = cfg
+        # sequence-parallel inference (reference --sp_size N inference runs,
+        # doc/FAQ.md memory tables are per-sp): a (dp=1, sp=N) mesh; the
+        # sample programs trace under it so the model's GSPMD hints shard the
+        # token axis, and VAE decode batch-scatters over it (sp_vae)
+        self.mesh = mesh
         self._sample_fns: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
@@ -78,9 +83,21 @@ class MagicDrivePipeline:
                     "CogVideoX VAE snapshot and point vae.from_pretrained at "
                     "the local directory.", e)
 
+        sp = int(cfg.get("sp_size", 1) or 1)
+        mesh = None
+        if sp > 1:
+            from ..parallel.sharding import make_mesh
+            n_dev = len(jax.devices())
+            if n_dev >= sp:
+                mesh = make_mesh(dp=1, sp=sp)
+            else:
+                logging.warning("sp_size=%d but only %d device(s); running "
+                                "unsharded", sp, n_dev)
+                sp = 1
         model_cfg = build_model_config(
             cfg.model, vae_out_channels=cfg.get("vae_out_channels", 16),
             mv_order_map=cfg.get("mv_order_map"), dtype=dtype,
+            enable_sequence_parallelism=sp > 1,
             grad_checkpoint=cfg.get("grad_checkpoint", False))
         model_type = str(cfg.get("model", {}).get("type", ""))
         if "BrushNet" in model_type:
@@ -127,7 +144,7 @@ class MagicDrivePipeline:
             params = model.init(k1, **example_batch)
             if vae.params is None:  # keep load_pretrained weights if present
                 vae.init(k2)
-        pipe = cls(model, params, vae, text_encoder, scheduler, cfg)
+        pipe = cls(model, params, vae, text_encoder, scheduler, cfg, mesh=mesh)
         return pipe
 
     # ------------------------------------------------------------------
@@ -256,7 +273,16 @@ class MagicDrivePipeline:
                int(num_frames), _dc.astuple(sched), extra)
         fn = self._sample_fns.get(key)
         if fn is None:
-            fn = jax.jit(build())
+            core = build()
+            if self.mesh is not None:
+                mesh, inner = self.mesh, core
+
+                def core(*a, **k):
+                    # mesh context is read at TRACE time by the model's
+                    # shard_hint constraints; GSPMD shards the token axis
+                    with use_mesh(mesh):
+                        return inner(*a, **k)
+            fn = jax.jit(core)
             self._sample_fns[key] = fn
         return fn
 
@@ -336,7 +362,14 @@ class MagicDrivePipeline:
         C = model_cfg.in_channels
         lat = samples.reshape(b, C, nc, lat_t, lat_h, lat_w).transpose(0, 2, 1, 3, 4, 5)
         lat = lat.reshape(b * nc, C, lat_t, lat_h, lat_w)
-        vids = self.vae.decode(lat.astype(self.vae.cfg.dtype))
+        if self.mesh is not None:
+            # batch-scatter the 6-camera decode over the sp devices
+            # (reference sp_vae, train_utils.py:640-683)
+            from ..parallel.sharding import sp_vae
+            vids = sp_vae(lat.astype(self.vae.cfg.dtype), self.vae.decode,
+                          self.mesh)
+        else:
+            vids = self.vae.decode(lat.astype(self.vae.cfg.dtype))
         return np.asarray(vids.astype(jnp.float32)).reshape(
             b, nc, *vids.shape[1:])
 

@@ -226,3 +226,32 @@ def test_use_map0_zeroes_uncond_map(pipe):
     pipe.sample(batch, **kw)
     pipe.sample(batch, use_map0=True, **kw)
     assert len(pipe._sample_fns) == 2
+
+
+@pytest.mark.heavy
+def test_sp_pipeline_sample_matches_single_device(pipe):
+    """sp_size>1 inference (reference --sp_size N, doc/FAQ.md memory tables):
+    the pipeline traces its sample program under a (1, sp) mesh, GSPMD shards
+    the token axis. With H' divisible by sp (no pad -> no grid effect) the
+    samples must match the unsharded pipeline exactly (same params)."""
+    cfg = Config({**TINY_CFG, "sp_size": 4})
+    # 64x80 px -> latent 8x10 -> token grid 4x5, S=20 divisible by sp=4: no
+    # H-pad, so SP must match the unsharded program exactly (at 32x40 the
+    # model would pad H for sp — the documented grid effect — and outputs
+    # legitimately differ; that path is covered by
+    # test_sp_h_padding_path_matches_unsharded)
+    h, w = 64, 80
+    ex = synthetic_batch(_model_cfg(cfg), num_frames=9, height=h, width=w,
+                         l_txt=8, caption_channels=16, map_size=(8, 40, 40))
+    pipe_sp = MagicDrivePipeline.from_config(
+        cfg, rng=jax.random.PRNGKey(0), init_params=True, example_batch=ex)
+    assert pipe_sp.mesh is not None and pipe_sp.mesh.shape["sp"] == 4
+    pipe_sp.params = pipe.params  # identical weights
+
+    batch = _cond_batch(Config(TINY_CFG), h=h, w=w)
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, 24, 3, 8, 10), jnp.float32)
+    kw = dict(num_frames=9, height=h, width=w, z=z, decode=False,
+              rng=jax.random.PRNGKey(4))
+    ref = pipe.sample(batch, **kw)
+    got = pipe_sp.sample(batch, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
