@@ -43,6 +43,11 @@ def main():
 
     import dataclasses
 
+    from magicdrive_v2_tpu.parallel.distributed import (local_dp_info,
+                                                        make_global_batch,
+                                                        maybe_initialize)
+    maybe_initialize()  # multi-host: join the cluster before device use
+
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +75,10 @@ def main():
     sp = min(cfg.get("sp_size", 1), n_dev)
     dp = n_dev // sp
     mesh = make_mesh(dp=dp, sp=sp)
-    logger.info("mesh: dp=%d sp=%d sde=%s", dp, sp, sde)
+    nproc = jax.process_count()
+    dp_local, dp_offset = local_dp_info(dp, sp)
+    logger.info("mesh: dp=%d sp=%d sde=%s (process %d/%d)", dp, sp, sde,
+                jax.process_index(), nproc)
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[cfg.get("dtype", "bf16")]
     base_cfg = build_model_config(
@@ -87,9 +95,10 @@ def main():
     scheduler = sched_cls(**sched_kwargs)
 
     t_img, (height, width) = cfg.get("num_frames", 9), cfg.get("image_size", (64, 80))
-    b = cfg.get("batch_size", 1) * dp
+    # per-PROCESS rows (multi-host: this process's dp rows of the global batch)
+    b = cfg.get("batch_size", 1) * dp_local
     nc = model_cfg.nc
-    rng_np = np.random.default_rng(cfg.get("seed", 0))
+    rng_np = np.random.default_rng(cfg.get("seed", 0) + dp_offset)
 
     def make_batch(seed):
         batch = synthetic_batch(model_cfg, num_frames=t_img, height=height,
@@ -102,15 +111,20 @@ def main():
             0, 2, (b, nc, t_img, height, width)).astype(np.float32))
         return batch
 
+    import contextlib
     with use_mesh(mesh):
         example = make_batch(0)
         extra = {}
         if sde:
             extra = dict(t_inpaint=jnp.full((b,), 300.0),
                          rngs_key=jax.random.PRNGKey(0))
-        params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)), **example,
-                            timestep=jnp.full((b,), 500.0), height=float(height),
-                            width=float(width), **extra)
+        # multi-host: host-local init (identical seeds -> identical trees),
+        # then shard_params device_puts into the global shardings
+        with (use_mesh(None) if nproc > 1 else contextlib.nullcontext()):
+            params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)),
+                                **example, timestep=jnp.full((b,), 500.0),
+                                height=float(height), width=float(width),
+                                **extra)
         logger.info("params: %s", format_numel_str(count_params(params)))
         params, _ = shard_params(params, mesh)
 
@@ -134,6 +148,8 @@ def main():
         t0 = time.time()
         for step in range(1, steps + 1):
             batch = make_batch(step)
+            if nproc > 1:
+                batch = make_global_batch(batch, mesh)
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, batch, k)
             loss = float(metrics["loss"])
