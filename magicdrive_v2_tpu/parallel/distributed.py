@@ -133,3 +133,31 @@ def is_main_process() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def startup_barrier(mesh, *, tag: str = "mdv2:startup"):
+    """Cluster barrier + collective warm-up (reference torch.distributed.barrier
+    at trainer startup): fail fast on a broken cluster and pre-establish the
+    collective contexts for every mesh-axis group (full mesh + dp columns + sp
+    rows) while all controllers sit at the same point — the transport
+    rendezvous (e.g. gloo's ~30 s deadline) must not first fire mid-run when
+    one controller is deep in an XLA compile and the others are waiting.
+    No-op in a single-process run."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
+    dp, sp = int(mesh.shape["dp"]), int(mesh.shape["sp"])
+    warm = jax.device_put(np.zeros((dp, sp), np.float32),
+                          NamedSharding(mesh, P("dp", "sp")))
+    warm_fn = jax.jit(jax.shard_map(
+        lambda x: (jax.lax.psum(x, "dp"), jax.lax.psum(x, "sp"),
+                   jax.lax.psum(x, ("dp", "sp"))),
+        mesh=mesh, in_specs=P("dp", "sp"),
+        out_specs=(P(None, "sp"), P("dp", None), P())))
+    jax.block_until_ready(warm_fn(warm))
+    logger.info("multi-host barrier passed (%d processes)", jax.process_count())

@@ -84,6 +84,35 @@ def dp_size() -> int:
     return int(mesh.shape[DP_AXIS])
 
 
+# sp_vae's jit wrappers, memoized: vae.decode is a fresh bound-method object on
+# every attribute access, so a bare jax.jit(vae_fn) per call would re-trace the
+# full VAE program each sample. Keyed by (vae object, method, mesh, in-spec
+# kind); values hold the bound method, keeping the id stable.
+_SP_VAE_JITS: Dict = {}
+
+
+def _sp_vae_jit(vae_fn, mesh, in_sharding):
+    key = (id(getattr(vae_fn, "__self__", vae_fn)),
+           getattr(vae_fn, "__func__", vae_fn), mesh, in_sharding is not None)
+    fn = _SP_VAE_JITS.get(key)
+    if fn is None:
+        kw = {} if in_sharding is None else {"in_shardings": in_sharding}
+        fn = (jax.jit(vae_fn, out_shardings=NamedSharding(mesh, P()), **kw),
+              vae_fn)  # keep the bound method alive -> id(key) stays valid
+        _SP_VAE_JITS[key] = fn
+    return fn[0]
+
+
+def _pad_rows(x: jax.Array, pad: int) -> jax.Array:
+    """Append `pad` filler rows (cycling the batch — pad may exceed it when the
+    mesh is larger than 2x the batch, e.g. 6 cameras over sp=16)."""
+    if not pad:
+        return x
+    reps = -(-pad // x.shape[0])
+    filler = jax.numpy.concatenate([x] * reps, axis=0)[:pad]
+    return jax.numpy.concatenate([x, filler], axis=0)
+
+
 def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
     """Batch-scatter a VAE encode/decode over ALL mesh devices and gather the result
     (reference sp_vae, magicdrivedit/utils/train_utils.py:640-683: splits the (B*NC)
@@ -102,12 +131,11 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
         n_local = mesh.size // nproc
         b = x.shape[0]
         pad = (-b) % n_local
-        if pad:
-            x = jax.numpy.concatenate([x, x[:pad]], axis=0)
+        x = _pad_rows(x, pad)
         spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
         xg = jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(x))
-        fn = jax.jit(vae_fn, out_shardings=NamedSharding(mesh, P()))
+        fn = _sp_vae_jit(vae_fn, mesh, None)
         with use_mesh(mesh):
             out = fn(xg)
         start = jax.process_index() * (b + pad)
@@ -115,11 +143,9 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
     n = mesh.size
     b = x.shape[0]
     pad = (-b) % n
-    if pad:
-        x = jax.numpy.concatenate([x, x[:pad]], axis=0)
+    x = _pad_rows(x, pad)
     spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
-    fn = jax.jit(vae_fn, in_shardings=NamedSharding(mesh, spec),
-                 out_shardings=NamedSharding(mesh, P()))
+    fn = _sp_vae_jit(vae_fn, mesh, NamedSharding(mesh, spec))
     with use_mesh(mesh):
         out = fn(x)
     return out[:b] if pad else out

@@ -375,7 +375,8 @@ class MagicDrivePipeline:
 
     def sample_repaint(self, batch: Dict, ref_z, lat_mask, *, num_frames: int,
                        height: int, width: int, rng: jax.Array,
-                       guidance_scale: Optional[float] = None, scheduler=None):
+                       guidance_scale: Optional[float] = None, scheduler=None,
+                       use_map0: bool = False):
         """RePaint latent inpainting (reference rf/__init__.py:780-888), jit-cached
         like `sample`. ref_z: (B, C*NC, T', H', W') reference latents; lat_mask same
         shape, 1 = region kept from the (noised) reference."""
@@ -391,14 +392,15 @@ class MagicDrivePipeline:
             def core(params, ref_z, mask, rng, model_args, null_y, scale):
                 predict = self._build_predict_fn(
                     {**model_args, "height": hf, "width": wf}, scale, True,
-                    z_shape=tuple(ref_z.shape), null_y=null_y, params=params)
+                    z_shape=tuple(ref_z.shape), null_y=null_y, params=params,
+                    use_map0=use_map0)
                 return sched.sample_repaint(predict, ref_z, mask, height=hf,
                                             width=wf, num_frames=nf, rng=rng)
 
             return core
 
         fn = self._cached_jit("repaint", sched, height, width, num_frames,
-                              None, build)
+                              bool(use_map0), build)
         return fn(self.params, jnp.asarray(ref_z), jnp.asarray(lat_mask), rng,
                   model_args, null_y, jnp.float32(guidance_scale))
 

@@ -130,7 +130,8 @@ def main():
         z = pipe.sample_repaint(
             batch, ref_z, lat_mask, num_frames=num_frames, height=height,
             width=width, rng=jax.random.PRNGKey(1024 + ns),
-            guidance_scale=cfg.scheduler.get("cfg_scale", 2.0), scheduler=sched)
+            guidance_scale=cfg.scheduler.get("cfg_scale", 2.0), scheduler=sched,
+            use_map0=bool(cfg.get("use_map0", False)))
 
         lat = np.asarray(z).reshape(b, model_cfg.in_channels, nc, lat_t, lat_h,
                                     lat_w).transpose(0, 2, 1, 3, 4, 5)

@@ -45,7 +45,8 @@ def main():
 
     from magicdrive_v2_tpu.parallel.distributed import (local_dp_info,
                                                         make_global_batch,
-                                                        maybe_initialize)
+                                                        maybe_initialize,
+                                                        startup_barrier)
     maybe_initialize()  # multi-host: join the cluster before device use
 
     import jax
@@ -79,6 +80,7 @@ def main():
     dp_local, dp_offset = local_dp_info(dp, sp)
     logger.info("mesh: dp=%d sp=%d sde=%s (process %d/%d)", dp, sp, sde,
                 jax.process_index(), nproc)
+    startup_barrier(mesh)
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[cfg.get("dtype", "bf16")]
     base_cfg = build_model_config(
@@ -100,10 +102,13 @@ def main():
     nc = model_cfg.nc
     rng_np = np.random.default_rng(cfg.get("seed", 0) + dp_offset)
 
-    def make_batch(seed):
+    def make_batch(step):
+        # seed drawn from the dp_offset-seeded rng so each process's rows
+        # carry DIFFERENT samples (the global batch must not duplicate rows
+        # across hosts); step order stays reproducible per process
         batch = synthetic_batch(model_cfg, num_frames=t_img, height=height,
                                 width=width, l_txt=32, b=b, map_size=(8, 80, 80),
-                                seed=seed)
+                                seed=int(rng_np.integers(1 << 31)))
         batch.pop("height"), batch.pop("width"), batch.pop("timestep")
         batch["x_inpaint"] = jnp.asarray(rng_np.standard_normal(
             (b, 3 * nc, t_img, height, width)).astype(np.float32))

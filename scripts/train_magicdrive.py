@@ -100,7 +100,8 @@ def main():
     from magicdrive_v2_tpu.parallel.distributed import (is_main_process,
                                                         local_dp_info,
                                                         make_global_batch,
-                                                        maybe_initialize)
+                                                        maybe_initialize,
+                                                        startup_barrier)
     maybe_initialize()
 
     import jax
@@ -133,24 +134,7 @@ def main():
     logger.info("devices=%d mesh: dp=%d sp=%d (process %d/%d: dp rows "
                 "%d..%d)", n_dev, dp, sp, jax.process_index(), nproc,
                 dp_offset, dp_offset + dp_local - 1)
-    if nproc > 1:
-        # startup barrier (reference torch.distributed.barrier): fail fast on a
-        # broken cluster, and pre-establish the collective contexts for every
-        # mesh-axis group (full mesh + dp columns + sp rows) while all
-        # controllers are at the same point — the transport rendezvous (e.g.
-        # gloo's, ~30 s deadline) must not first fire mid-run when one
-        # controller is deep in an XLA compile and the others are waiting
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("mdv2:startup")
-        warm = jax.device_put(np.zeros((dp, sp), np.float32),
-                              NamedSharding(mesh, P("dp", "sp")))
-        warm_fn = jax.jit(jax.shard_map(
-            lambda x: (jax.lax.psum(x, "dp"), jax.lax.psum(x, "sp"),
-                       jax.lax.psum(x, ("dp", "sp"))),
-            mesh=mesh, in_specs=P("dp", "sp"),
-            out_specs=(P(None, "sp"), P("dp", None), P())))
-        jax.block_until_ready(warm_fn(warm))
-        logger.info("multi-host barrier passed (%d processes)", nproc)
+    startup_barrier(mesh)
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[cfg.get("dtype", "bf16")]
     model_cfg = build_model_config(

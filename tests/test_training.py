@@ -118,6 +118,19 @@ def test_sp_vae_batch_scatter_matches_unsharded():
     assert out.shape == ref.shape
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    # pad exceeding the batch: 3 rows over 8 devices needs 5 filler rows
+    # (regression: x[:pad] under-filled and the in-sharding divisibility broke)
+    x3 = x[:3]
+    out3 = sp_vae(x3, vae_fn, mesh)
+    assert out3.shape == vae_fn(x3).shape
+    assert np.allclose(np.asarray(out3), np.asarray(vae_fn(x3)), atol=1e-6)
+
+    # repeat calls reuse the memoized jit wrapper (no per-call re-trace)
+    from magicdrive_v2_tpu.parallel.sharding import _SP_VAE_JITS
+    n = len(_SP_VAE_JITS)
+    sp_vae(x, vae_fn, mesh)
+    assert len(_SP_VAE_JITS) == n
+
 
 @pytest.mark.slow
 def test_multibucket_steps_use_own_statics():
