@@ -395,7 +395,22 @@ def main():
     from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
     from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
 
+    # device-enumeration watchdog: when the axon relay is down, jax.devices()
+    # hangs indefinitely — exit with a diagnostic instead of hanging the
+    # driver's whole bench budget (observed: relay unreachable for hours)
+    import threading
+    got_devices = threading.Event()
+
+    def _watchdog():
+        if not got_devices.wait(timeout=900):
+            print("bench: TPU relay unreachable (device enumeration exceeded "
+                  "15 min); no measurement possible", file=sys.stderr,
+                  flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     platform = jax.devices()[0].platform
+    got_devices.set()
     on_tpu = platform == "tpu"
     if on_tpu:
         num_frames, height, width = NUM_FRAMES, HEIGHT, WIDTH
