@@ -102,7 +102,7 @@ def test_merge_dataset_cfg_into_experiment():
     assert cfg.dataset.image_size == [424, 800]
 
 
-def test_dataset_end_to_end(mini_nuscenes):
+def _build_ds(mini_nuscenes, with_aux=True):
     yaml_cfg = load_yaml_config(os.path.join(REPO, "configs/dataset/Nuscenes.yaml"))
     # small final_dim to keep the test fast
     pipeline = yaml_cfg["train_pipeline"]
@@ -113,10 +113,11 @@ def test_dataset_end_to_end(mini_nuscenes):
         if t["type"] == "LoadBEVSegmentation":
             t["xbound"] = [-50.0, 50.0, 1.0]
             t["ybound"] = [-50.0, 50.0, 1.0]
-            # exercise the full dynamic+aux variant (main chain is map-only)
-            t["object_classes"] = yaml_cfg["object_classes"]
-            t["aux_data"] = yaml_cfg["aux_data"]
-    ds = NuScenesTDataset(
+            if with_aux:
+                # exercise the full dynamic+aux variant (main chain is map-only)
+                t["object_classes"] = yaml_cfg["object_classes"]
+                t["aux_data"] = yaml_cfg["aux_data"]
+    return NuScenesTDataset(
         ann_file=mini_nuscenes, pipeline=pipeline, dataset_root="",
         object_classes=yaml_cfg["object_classes"],
         view_order=yaml_cfg["view_order"], video_length=3,
@@ -124,6 +125,10 @@ def test_dataset_end_to_end(mini_nuscenes):
         img_collate_param=dict(
             template=yaml_cfg["template"], frame_emb="next2top",
             bbox_mode="all-xyz", bbox_processor_type=2, is_train=True))
+
+
+def test_dataset_end_to_end(mini_nuscenes):
+    ds = _build_ds(mini_nuscenes)
     # 2 scenes x 6 frames, clips of 3, keyframe starts only (even indices, and the
     # clip must fit) -> starts 0, 2 per scene = 4 clips
     assert len(ds) == 4
@@ -150,3 +155,38 @@ def test_dataset_end_to_end(mini_nuscenes):
     assert mb["x"].shape == (12, 3, 3, 24, 40)
     assert mb["maps"].shape == (2, 3, 26, 100, 100)
     assert mb["bbox"]["box_latent"].shape[-1] == 8
+
+
+def test_multirank_loader_covers_global_batch(mini_nuscenes):
+    """prepare_multirank_dataloader: (a) dp_local=dp yields the FULL global
+    batch (batch_size rows per dp rank — the reference's per-GPU semantics,
+    fixing the old rank-0-slice-only behavior), with the rank partition
+    covering the dataset exactly once; (b) per-process slices (dp_local=1 at
+    each offset) concatenate to the same global batches — the multi-host
+    contract make_global_batch relies on."""
+    from magicdrive_v2_tpu.datasets import prepare_multirank_dataloader
+
+    ds = _build_ds(mini_nuscenes, with_aux=False)
+    kw = dict(bucket_config=None, batch_size=1, shuffle=True, seed=0,
+              num_workers=1, drop_last=True)
+    loader, sampler = prepare_multirank_dataloader(
+        ds, dp_total=2, dp_local=2, dp_offset=0, **kw)
+    global_batches = list(loader)
+    assert len(global_batches) == 2  # 4 clips / (1 per rank x 2 ranks)
+    b0 = global_batches[0]
+    assert b0["pixel_values"].shape[0] == 2
+    assert not np.allclose(b0["pixel_values"][0], b0["pixel_values"][1])
+    seen = np.concatenate([b["pixel_values"] for b in global_batches])
+    assert seen.shape[0] == 4  # whole dataset, once
+
+    l0, _ = prepare_multirank_dataloader(ds, dp_total=2, dp_local=1,
+                                         dp_offset=0, **kw)
+    l1, _ = prepare_multirank_dataloader(ds, dp_total=2, dp_local=1,
+                                         dp_offset=1, **kw)
+    for g, r0, r1 in zip(global_batches, l0, l1):
+        np.testing.assert_array_equal(g["pixel_values"][0],
+                                      r0["pixel_values"][0])
+        np.testing.assert_array_equal(g["pixel_values"][1],
+                                      r1["pixel_values"][0])
+        np.testing.assert_array_equal(g["fps"],
+                                      np.concatenate([r0["fps"], r1["fps"]]))
