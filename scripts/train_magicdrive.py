@@ -257,13 +257,36 @@ def main():
             out = load_checkpoint(latest, load_ema=True,
                                   opt_state_like=state.opt_state)
             start_step = out["running_states"].get("step", 0)
+
+            def resharded(tree, like):
+                """Restored leaves back onto the LIVE state's shardings:
+                orbax without restore-sharding args returns host/unsharded
+                arrays, which would silently re-layout (single host) or fail
+                jit input checks (multi-host global arrays) on the next step.
+                Leaves orbax already restored as matching/global arrays (it
+                honors the *_like shardings) pass through — re-device_putting
+                a non-addressable array would need cross-host transfers."""
+                if tree is None:
+                    return None
+
+                def put(t, l):
+                    if not hasattr(l, "sharding"):
+                        return t
+                    if isinstance(t, jax.Array) and (
+                            t.sharding == l.sharding
+                            or not t.is_fully_addressable):
+                        return t
+                    return jax.device_put(t, l.sharding)
+
+                return jax.tree_util.tree_map(put, tree, like)
+
             state = state.replace(
                 step=jnp.asarray(start_step, jnp.int32),
-                params=out["params"],
+                params=resharded(out["params"], state.params),
                 opt_state=state.opt_state if out.get("opt_state") is None
-                else out["opt_state"],
+                else resharded(out["opt_state"], state.opt_state),
                 ema_params=state.ema_params if out.get("ema") is None
-                else out["ema"])
+                else resharded(out["ema"], state.ema_params))
             if sampler is not None and "sampler" in out["running_states"]:
                 sampler.load_state_dict(out["running_states"]["sampler"])
             logger.info("resumed from %s at step %d", latest, start_step)

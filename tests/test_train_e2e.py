@@ -177,3 +177,16 @@ def test_train_app_multiprocess(tmp_path):
     metrics = [json.loads(ln) for ln in
                open(os.path.join(out_dir, "metrics.jsonl"))]
     assert len(metrics) == 2, metrics
+
+    # ---- multi-host RESUME (pod preemption recovery): restored trees must be
+    # re-device_put onto the live global shardings before the SPMD step ----
+    procs = [subprocess.Popen(cmd[:cmd.index("--max-steps") + 1] + ["1"]
+                              + cmd[cmd.index("--max-steps") + 2:],
+                              env=dict(base_env, MDV2_DIST_PROCID=str(i)),
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, cwd=REPO) for i in range(2)]
+    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume proc {i}:\n{out[-4000:]}"
+    assert all("resumed from" in o for o in outs), outs[0][-1500:]
+    assert os.path.isdir(os.path.join(out_dir, "global_step3", "model"))
