@@ -86,21 +86,36 @@ def dp_size() -> int:
 
 # sp_vae's jit wrappers, memoized: vae.decode is a fresh bound-method object on
 # every attribute access, so a bare jax.jit(vae_fn) per call would re-trace the
-# full VAE program each sample. Keyed by (vae object, method, mesh, in-spec
-# kind); values hold the bound method, keeping the id stable.
-_SP_VAE_JITS: Dict = {}
+# full VAE program each sample (sample()'s SP decode path hits this every
+# call). The cache is a WeakKeyDictionary on the VAE OBJECT (dropping the
+# pipeline evicts the executables + params), and the jitted program takes the
+# object's `params` as a runtime ARGUMENT — never a baked trace constant, so
+# load_pretrained()/param swaps after the first call are honored. Plain
+# functions/lambdas (no __self__ with .params) fall back to an un-memoized jit
+# exactly like the pre-cache behavior.
+import weakref
+
+_SP_VAE_JITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _sp_vae_jit(vae_fn, mesh, in_sharding):
-    key = (id(getattr(vae_fn, "__self__", vae_fn)),
-           getattr(vae_fn, "__func__", vae_fn), mesh, in_sharding is not None)
-    fn = _SP_VAE_JITS.get(key)
-    if fn is None:
-        kw = {} if in_sharding is None else {"in_shardings": in_sharding}
-        fn = (jax.jit(vae_fn, out_shardings=NamedSharding(mesh, P()), **kw),
-              vae_fn)  # keep the bound method alive -> id(key) stays valid
-        _SP_VAE_JITS[key] = fn
-    return fn[0]
+def _sp_vae_jit(vae_fn, mesh, in_sharding, ndim: int):
+    obj = getattr(vae_fn, "__self__", None)
+    kw = {} if in_sharding is None else {"in_shardings": (None, in_sharding)}
+    out_sh = NamedSharding(mesh, P())
+    if obj is None or not hasattr(obj, "params"):
+        f = jax.jit(lambda _p, x: vae_fn(x), out_shardings=out_sh, **kw)
+        return lambda x: f(None, x)
+    func = vae_fn.__func__
+    per_obj = _SP_VAE_JITS.setdefault(obj, {})
+    key = (func, mesh, in_sharding is not None, ndim)
+    f = per_obj.get(key)
+    if f is None:
+        obj_ref = weakref.ref(obj)  # no strong ref from the cached value back
+        # to the weak key, or the entry would never be evicted
+        f = jax.jit(lambda p, x: func(obj_ref(), x, params=p),
+                    out_shardings=out_sh, **kw)
+        per_obj[key] = f
+    return lambda x: f(obj.params, x)
 
 
 def _pad_rows(x: jax.Array, pad: int) -> jax.Array:
@@ -135,7 +150,7 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
         spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
         xg = jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(x))
-        fn = _sp_vae_jit(vae_fn, mesh, None)
+        fn = _sp_vae_jit(vae_fn, mesh, None, x.ndim)
         with use_mesh(mesh):
             out = fn(xg)
         start = jax.process_index() * (b + pad)
@@ -145,7 +160,7 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
     pad = (-b) % n
     x = _pad_rows(x, pad)
     spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
-    fn = _sp_vae_jit(vae_fn, mesh, NamedSharding(mesh, spec))
+    fn = _sp_vae_jit(vae_fn, mesh, NamedSharding(mesh, spec), x.ndim)
     with use_mesh(mesh):
         out = fn(x)
     return out[:b] if pad else out

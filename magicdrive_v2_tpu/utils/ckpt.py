@@ -365,10 +365,15 @@ def save_checkpoint(ckpt_dir: str, step: int, *, params: Any,
     running["step"] = step
     if sampler_state is not None:
         running["sampler"] = sampler_state
-    with open(os.path.join(path, "running_states.json"), "w") as f:
-        json.dump(running, f, indent=2, default=str)
-    if save_rng:
-        save_rng_state(os.path.join(path, "rng_state.pkl"))
+    # the orbax saves above are COLLECTIVE (all processes participate); the
+    # host-side json/pickle files are written by process 0 only — concurrent
+    # writers on a shared filesystem would race and could tear the files
+    import jax as _jax
+    if _jax.process_index() == 0:
+        with open(os.path.join(path, "running_states.json"), "w") as f:
+            json.dump(running, f, indent=2, default=str)
+        if save_rng:
+            save_rng_state(os.path.join(path, "rng_state.pkl"))
     logger.info("saved checkpoint: %s", path)
     return path
 

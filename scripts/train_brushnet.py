@@ -102,7 +102,7 @@ def main():
     nc = model_cfg.nc
     rng_np = np.random.default_rng(cfg.get("seed", 0) + dp_offset)
 
-    def make_batch(step):
+    def make_batch(_step):
         # seed drawn from the dp_offset-seeded rng so each process's rows
         # carry DIFFERENT samples (the global batch must not duplicate rows
         # across hosts); step order stays reproducible per process

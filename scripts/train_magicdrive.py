@@ -106,7 +106,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from magicdrive_v2_tpu.config import Config, merge_dot_options
     from magicdrive_v2_tpu.models.magicdrive.stdit3 import (MagicDriveSTDiT3,

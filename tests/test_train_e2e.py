@@ -180,12 +180,21 @@ def test_train_app_multiprocess(tmp_path):
 
     # ---- multi-host RESUME (pod preemption recovery): restored trees must be
     # re-device_put onto the live global shardings before the SPMD step ----
-    procs = [subprocess.Popen(cmd[:cmd.index("--max-steps") + 1] + ["1"]
-                              + cmd[cmd.index("--max-steps") + 2:],
-                              env=dict(base_env, MDV2_DIST_PROCID=str(i)),
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, cwd=REPO) for i in range(2)]
-    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    resume_cmd = (cmd[:cmd.index("--max-steps") + 1] + ["1"]
+                  + cmd[cmd.index("--max-steps") + 2:])
+    for attempt in range(2):
+        procs = [subprocess.Popen(resume_cmd,
+                                  env=dict(base_env, MDV2_DIST_PROCID=str(i)),
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT,
+                                  text=True, cwd=REPO) for i in range(2)]
+        outs = [p.communicate(timeout=1100)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 0 and any("Gloo context initialization failed" in o
+                                for o in outs):
+            continue  # same environmental 1-core gloo flake as above
+        break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"resume proc {i}:\n{out[-4000:]}"
     assert all("resumed from" in o for o in outs), outs[0][-1500:]

@@ -125,11 +125,27 @@ def test_sp_vae_batch_scatter_matches_unsharded():
     assert out3.shape == vae_fn(x3).shape
     assert np.allclose(np.asarray(out3), np.asarray(vae_fn(x3)), atol=1e-6)
 
-    # repeat calls reuse the memoized jit wrapper (no per-call re-trace)
+    # memoization (bound methods of an object with .params): repeat calls
+    # reuse ONE jit entry, and params are runtime ARGS — a post-first-call
+    # param swap (e.g. load_pretrained) must be honored, not baked in
     from magicdrive_v2_tpu.parallel.sharding import _SP_VAE_JITS
-    n = len(_SP_VAE_JITS)
-    sp_vae(x, vae_fn, mesh)
-    assert len(_SP_VAE_JITS) == n
+
+    class FakeVAE:
+        def __init__(self):
+            self.params = jnp.float32(1.0)
+
+        def decode(self, z, params=None):
+            p = self.params if params is None else params
+            return z * p
+
+    fv = FakeVAE()
+    out_a = sp_vae(x, fv.decode, mesh)
+    assert len(_SP_VAE_JITS[fv]) == 1
+    sp_vae(x, fv.decode, mesh)
+    assert len(_SP_VAE_JITS[fv]) == 1
+    fv.params = jnp.float32(2.0)
+    out_b = sp_vae(x, fv.decode, mesh)
+    assert np.allclose(np.asarray(out_b), 2 * np.asarray(out_a), atol=1e-6)
 
 
 @pytest.mark.slow
