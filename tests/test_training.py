@@ -219,3 +219,27 @@ def test_multistep_warmup_schedule():
     assert float(sched(50)) == 1.0
     assert abs(float(sched(150)) - 0.1) < 1e-6
     assert abs(float(sched(250)) - 0.01) < 1e-8
+
+
+def test_sp_vae_real_decode_matches_direct():
+    """The memoized sp_vae path drives the REAL VAE decode signature
+    (params kwarg, streaming internals) over the mesh — must equal the direct
+    single-device decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from magicdrive_v2_tpu.models.vae.cogvideox import (CogVAEConfig,
+                                                        VideoAutoencoderKLCogVideoX)
+    from magicdrive_v2_tpu.parallel.sharding import make_mesh, sp_vae
+
+    vae = VideoAutoencoderKLCogVideoX(
+        CogVAEConfig(block_out_channels=(8, 8, 8, 16), latent_channels=4,
+                     layers_per_block=1, norm_num_groups=4))
+    vae.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=2, sp=4)
+    z = jax.random.normal(jax.random.PRNGKey(1), (6, 4, 2, 4, 5), jnp.float32)
+    direct = vae.decode(z)
+    via_mesh = sp_vae(z, vae.decode, mesh)
+    assert via_mesh.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(via_mesh), np.asarray(direct),
+                               atol=2e-5)
