@@ -94,12 +94,22 @@ class BucketSampler:
             bs = self.bs_config.get(bucket_id, -1)
             if bs == -1:
                 continue
-            remainder = len(data_list) % bs
+            # Divisibility is at GLOBAL-batch granularity (bs * num_replicas):
+            # every dp window draws all of its num_replicas micro-batches from
+            # ONE bucket (see _access_order), so each jitted global step has a
+            # single static shape. The reference pads only to bs and lets
+            # ranks diverge onto different buckets (nuscenes_variable.py:
+            # 248-441) — fine for eager per-process torch, impossible for a
+            # single-controller global batch.
+            group = bs * num_replicas
+            remainder = len(data_list) % group
             if remainder > 0:
                 if not drop_last:
-                    data_list += data_list[: bs - remainder]
+                    pad = group - remainder
+                    reps = -(-pad // max(1, len(data_list)))
+                    data_list += (data_list * reps)[:pad]
                 else:
-                    data_list = data_list[:-remainder]
+                    data_list = data_list[:len(data_list) - remainder]
             if not data_list:
                 continue
             self._bucket_sample_dict[bucket_id] = data_list
@@ -117,19 +127,20 @@ class BucketSampler:
         self.last_micro_batch_access_index = 0
 
     def _access_order(self, rng: pyrandom.Random) -> List[str]:
-        order: List[str] = []
+        """Micro-batch access order, grouped so each consecutive window of
+        num_replicas entries is ONE bucket: all dp ranks of a step share the
+        bucket key, keeping the assembled global batch single-shape (one XLA
+        compile per bucket). Shuffling happens at window granularity."""
+        windows: List[str] = []
         for bucket_id, n in self._bucket_micro_batch_count.items():
-            order.extend([bucket_id] * n)
+            windows.extend([bucket_id] * (n // self.num_replicas))
         if self.shuffle:
-            perm = list(range(len(order)))
+            perm = list(range(len(windows)))
             rng.shuffle(perm)
-            order = [order[i] for i in perm]
-        remainder = len(order) % self.num_replicas
-        if remainder > 0:
-            if self.drop_last:
-                order = order[: len(order) - remainder]
-            else:
-                order += order[: self.num_replicas - remainder]
+            windows = [windows[i] for i in perm]
+        order: List[str] = []
+        for bucket_id in windows:
+            order.extend([bucket_id] * self.num_replicas)
         return order
 
     def __iter__(self) -> Iterator[List[str]]:

@@ -107,15 +107,24 @@ def _sp_vae_jit(vae_fn, mesh, in_sharding, ndim: int):
         return lambda x: f(None, x)
     func = vae_fn.__func__
     per_obj = _SP_VAE_JITS.setdefault(obj, {})
-    key = (func, mesh, in_sharding is not None, ndim)
-    f = per_obj.get(key)
-    if f is None:
+    # The trace bakes the wrapper's ARCHITECTURE (obj.module/module_streaming
+    # Flax defs, cfg, scaling_factor) in as constants; only params are runtime
+    # args. load_pretrained() rebuilds those objects from the snapshot's
+    # config.json, so the module identities must be part of the key or a
+    # pre-load trace would keep serving the old architecture (round-3 advisor
+    # finding). The cached tuple holds strong refs to the keyed modules so
+    # their id()s cannot be recycled while the entry lives.
+    arch = (getattr(obj, "module", None), getattr(obj, "module_streaming", None))
+    key = (func, mesh, in_sharding is not None, ndim,
+           tuple(id(a) for a in arch))
+    entry = per_obj.get(key)
+    if entry is None:
         obj_ref = weakref.ref(obj)  # no strong ref from the cached value back
         # to the weak key, or the entry would never be evicted
         f = jax.jit(lambda p, x: func(obj_ref(), x, params=p),
                     out_shardings=out_sh, **kw)
-        per_obj[key] = f
-    return lambda x: f(obj.params, x)
+        entry = per_obj[key] = (f, arch)
+    return lambda x: entry[0](obj.params, x)
 
 
 def _pad_rows(x: jax.Array, pad: int) -> jax.Array:

@@ -284,10 +284,34 @@ def resolve_pretrained_dir(path: str, subfolder: Optional[str] = None
         p = os.path.join(d, name)
         if os.path.isfile(p):
             return cfg, load_torch_file(p)
+    # sharded diffusers/transformers snapshot: merge every shard — loading
+    # only shard 1 would silently yield a mostly-random model (round-3
+    # advisor finding; convert_torch_state_dict only warns on missing keys)
+    index = [f for f in sorted(os.listdir(d)) if f.endswith(".index.json")]
+    if index:
+        with open(os.path.join(d, index[0])) as f:
+            weight_map = json.load(f)["weight_map"]
+        merged: Dict[str, np.ndarray] = {}
+        for shard in sorted(set(weight_map.values())):
+            merged.update(load_torch_file(os.path.join(d, shard)))
+        return cfg, merged
     cands = [f for f in sorted(os.listdir(d))
              if f.endswith((".safetensors", ".bin", ".pt", ".pth"))]
     if not cands:
         raise FileNotFoundError(f"no weights file under {d!r}")
+    shard_re = re.compile(r"-\d{5}-of-(\d{5})\.")
+    m = shard_re.search(cands[0])
+    if m:
+        n = int(m.group(1))
+        shards = [f for f in cands if shard_re.search(f)]
+        if len(shards) != n:
+            raise FileNotFoundError(
+                f"{d!r} holds {len(shards)} of {n} weight shards; snapshot "
+                "is incomplete")
+        merged = {}
+        for shard in shards:
+            merged.update(load_torch_file(os.path.join(d, shard)))
+        return cfg, merged
     return cfg, load_torch_file(os.path.join(d, cands[0]))
 
 

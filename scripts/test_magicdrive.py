@@ -60,6 +60,12 @@ def load_grid_video(path: str, num_frames: int, height: int, width: int,
     concat_6_views (reference test_magicdrive_brushnet.py:440-476)."""
     import imageio
     frames = imageio.mimread(path, memtest=False)[:num_frames]
+    if len(frames) < num_frames:
+        # a silent zero-fill would feed black inpaint frames / all-zero masks
+        # into the benchmark run (round-3 advisor finding)
+        raise ValueError(
+            f"{path!r} has {len(frames)} frames < requested {num_frames}; "
+            "regenerate the pedestrian grid video for this clip length")
     c = 1 if grayscale else 3
     out = np.zeros((6, c, num_frames, height, width), np.float32)
     for ti, f in enumerate(frames):

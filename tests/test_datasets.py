@@ -271,6 +271,74 @@ def test_bucket_sampler_static_shape_batches_and_resume():
         BucketSampler(buckets, cfg, num_replicas=2, rank=0, seed=3))
 
 
+def test_bucket_sampler_dp_windows_share_bucket():
+    """Every dp step's micro-batches must come from ONE bucket so the
+    assembled global batch is single-shape (round-3 advisor high finding:
+    per-rank bucket divergence crashed prepare_multirank_dataloader under
+    bucket_config with dp>1)."""
+    buckets = OrderedDict([
+        ("224-400-12-9", list(range(10))),
+        ("224-400-12-17", list(range(7))),
+        ("424-800-12-9", list(range(5))),
+    ])
+    cfg = {"224-400-12-9": 2, "224-400-12-17": 3, "424-800-12-9": 1}
+    R = 2
+    per_rank = [list(BucketSampler(buckets, cfg, num_replicas=R, rank=r, seed=3))
+                for r in range(R)]
+    assert len(per_rank[0]) == len(per_rank[1]) > 0
+    for step, (b0, b1) in enumerate(zip(*per_rank)):
+        k0 = b0[0].split("-", 1)[1]
+        k1 = b1[0].split("-", 1)[1]
+        assert k0 == k1, f"step {step}: ranks diverged on bucket ({k0} vs {k1})"
+        assert len(b0) == len(b1) == cfg[k0]
+    # all buckets with >= bs*R samples (after cycling pad) are represented
+    seen = {b[0].split("-", 1)[1] for b in per_rank[0]}
+    assert seen == set(cfg)
+
+
+def test_multirank_dataloader_bucketed_global_batches():
+    """prepare_multirank_dataloader + bucket_config + dp=2: concat_batches must
+    assemble a global batch (2*bs rows) every step without shape divergence."""
+    from magicdrive_v2_tpu.datasets.dataloader import prepare_multirank_dataloader
+
+    class _FakeMultiRes:
+        buckets = OrderedDict([("64-80-12-9", list(range(8))),
+                               ("64-80-12-17", list(range(6)))])
+
+        def as_buckets(self):
+            return self.buckets
+
+        def __getitem__(self, key: str):
+            idx, h, w, fps, t = key.split("-")
+            t = int(t)
+            return {
+                "pixel_values": np.zeros((6, t, 8, 10, 3), np.float32),
+                "captions": f"clip{idx}",
+                "height": int(h), "width": int(w), "fps": int(fps),
+                "num_frames": t,
+            }
+
+        def __len__(self):
+            return 14
+
+    loader, sampler = prepare_multirank_dataloader(
+        _FakeMultiRes(), dp_total=2, dp_local=2,
+        bucket_config={"64-80-12-9": 2, "64-80-12-17": 1},
+        shuffle=True, seed=0, num_workers=1, prefetch=1,
+        collate_fn=lambda items: {
+            "pixel_values": np.stack([it["pixel_values"] for it in items]),
+            "captions": [it["captions"] for it in items],
+            "height": items[0]["height"], "width": items[0]["width"],
+            "num_frames": items[0]["num_frames"],
+        })
+    steps = list(loader)
+    assert len(steps) == len(sampler.samplers[0])
+    for batch in steps:
+        bs_local = 2 if batch["num_frames"] == 9 else 1
+        assert batch["pixel_values"].shape[0] == 2 * bs_local
+        assert len(batch["captions"]) == 2 * bs_local
+
+
 def test_bucket_sampler_drops_minus_one():
     buckets = OrderedDict([("a", list(range(4))), ("b", list(range(4)))])
     s = BucketSampler(buckets, {"a": 2, "b": -1})

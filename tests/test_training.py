@@ -148,6 +148,75 @@ def test_sp_vae_batch_scatter_matches_unsharded():
     assert np.allclose(np.asarray(out_b), 2 * np.asarray(out_a), atol=1e-6)
 
 
+def test_sp_vae_cache_evicts_on_module_rebuild():
+    """Architecture attributes (obj.module etc.) are baked into the trace as
+    constants; rebuilding them (load_pretrained) must produce a NEW cache
+    entry, not keep serving the stale architecture (round-3 advisor finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from magicdrive_v2_tpu.parallel.sharding import _SP_VAE_JITS, make_mesh, sp_vae
+
+    mesh = make_mesh(dp=2, sp=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+
+    class FakeModule:
+        def __init__(self, gain):
+            self.gain = gain
+
+    class FakeVAE:
+        def __init__(self):
+            self.params = jnp.float32(1.0)
+            self.module = FakeModule(1.0)
+
+        def decode(self, z, params=None):
+            p = self.params if params is None else params
+            return z * p * self.module.gain  # gain bakes in at trace time
+
+    fv = FakeVAE()
+    out_a = sp_vae(x, fv.decode, mesh)
+    assert len(_SP_VAE_JITS[fv]) == 1
+    fv.module = FakeModule(3.0)  # load_pretrained() rebuilds the architecture
+    out_b = sp_vae(x, fv.decode, mesh)
+    assert len(_SP_VAE_JITS[fv]) == 2  # new entry, not the stale trace
+    assert np.allclose(np.asarray(out_b), 3 * np.asarray(out_a), atol=1e-6)
+
+
+def test_resolve_pretrained_dir_merges_sharded_snapshot(tmp_path):
+    """A -NNNNN-of-NNNNN sharded snapshot must load ALL shards (round-3
+    advisor finding: alphabetically-first file silently loaded shard 1 only)."""
+    import numpy as np
+    import pytest
+    from safetensors.numpy import save_file
+    from magicdrive_v2_tpu.utils.ckpt import resolve_pretrained_dir
+
+    d = tmp_path / "snap"
+    d.mkdir()
+    save_file({"a.weight": np.ones((2,), np.float32)},
+              str(d / "diffusion_pytorch_model-00001-of-00002.safetensors"))
+    save_file({"b.weight": np.full((3,), 2.0, np.float32)},
+              str(d / "diffusion_pytorch_model-00002-of-00002.safetensors"))
+    _, sd = resolve_pretrained_dir(str(d))
+    assert set(sd) == {"a.weight", "b.weight"}
+
+    # with an index json, the weight_map drives the merge
+    import json as _json
+    (d / "diffusion_pytorch_model.safetensors.index.json").write_text(_json.dumps(
+        {"weight_map": {
+            "a.weight": "diffusion_pytorch_model-00001-of-00002.safetensors",
+            "b.weight": "diffusion_pytorch_model-00002-of-00002.safetensors"}}))
+    _, sd2 = resolve_pretrained_dir(str(d))
+    assert set(sd2) == {"a.weight", "b.weight"}
+
+    # an incomplete shard set must raise, not half-load
+    d2 = tmp_path / "incomplete"
+    d2.mkdir()
+    save_file({"a.weight": np.ones((2,), np.float32)},
+              str(d2 / "diffusion_pytorch_model-00001-of-00002.safetensors"))
+    with pytest.raises(FileNotFoundError, match="1 of 2"):
+        resolve_pretrained_dir(str(d2))
+
+
 @pytest.mark.slow
 def test_multibucket_steps_use_own_statics():
     """Each bucket's compiled step must bake its OWN (H, W, T) into
