@@ -292,7 +292,13 @@ class SelfAttention(nn.Module):
     proj_init: Callable = xavier_uniform
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """kv_mask: optional (B, N_keys) bool — False keys are excluded from
+        every query's softmax. Used by temporal attention to keep padded
+        frames (full-length clips padded to a bucket max-T) from influencing
+        valid frames; queries at padded positions still compute (static
+        shapes), their outputs are discarded downstream."""
         H, D = self.num_heads, self.dim // self.num_heads
         if x.ndim == 4 and self.use_rope:
             # Temporal attention in (B, T, S, C) token layout: T is tiny (<=9
@@ -319,6 +325,9 @@ class SelfAttention(nn.Module):
             q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
             logits = jnp.einsum("btshd,bushd->bhtus", q, k,
                                 preferred_element_type=jnp.float32) * D ** -0.5
+            if kv_mask is not None:
+                logits = jnp.where(kv_mask[:, None, None, :, None], logits,
+                                   jnp.float32(-1e9))
             w = jax.nn.softmax(logits, axis=3).astype(v.dtype)
             out = jnp.einsum("bhtus,bushd->btshd", w, v).reshape(B, T, S, C)
             return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init,
@@ -330,7 +339,7 @@ class SelfAttention(nn.Module):
         if self.qk_norm:
             qw = _NormWeight(D, name="q_norm")()
             kw = _NormWeight(D, name="k_norm")()
-        if not self.use_rope and _use_fused_attention(N):
+        if not self.use_rope and kv_mask is None and _use_fused_attention(N):
             # fused Pallas path: RMSNorm + attention straight off the qkv
             # projection, no head transposes (ops/flash_fused.py)
             out = fused_qkv_attention(qkv.reshape(B, N, 3, H, D), qw, kw, None,
@@ -350,7 +359,10 @@ class SelfAttention(nn.Module):
         # activations are sequence-sharded, so XLA materializes the head<->seq all-to-all
         # (replaces reference SeqParallelAttention, blocks.py:281-381).
         q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
-        out = dot_product_attention(q, k, v, scale=D**-0.5)
+        bias = None
+        if kv_mask is not None:
+            bias = jnp.where(kv_mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
+        out = dot_product_attention(q, k, v, scale=D**-0.5, bias=bias)
         out = out.reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init, name="proj")(out)
 

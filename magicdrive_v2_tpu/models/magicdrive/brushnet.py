@@ -96,7 +96,7 @@ class BrushCtrlLayerGroup(nn.Module):
     cfg: BrushNetConfig
 
     @nn.compact
-    def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn):
+    def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn, pad_mask=None):
         cfg = self.cfg
         x, c, xi = carry
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
@@ -114,13 +114,13 @@ class BrushCtrlLayerGroup(nn.Module):
         x = x + c_skip + xi_skip
         if cfg.with_temp_block:
             x = MVSTDiTBlock(**common, temporal=True, zero_out_projs=True,
-                             name="base_t")(x, y, t, x_mask, t0)
+                             name="base_t")(x, y, t, x_mask, t0, pad_mask)
         if not cfg.control_skip_temporal:
             c, c_skip = MVSTDiTBlock(**common, temporal=True, is_control_block=True,
-                                     name="control_t")(c, y, t, x_mask, t0)
+                                     name="control_t")(c, y, t, x_mask, t0, pad_mask)
             x = x + c_skip
         xi, xi_skip = MVSTDiTBlock(**brush, temporal=True,
-                                   name="brushnet_t")(xi, y, t_bn, x_mask, t0_bn)
+                                   name="brushnet_t")(xi, y, t_bn, x_mask, t0_bn, pad_mask)
         x = x + xi_skip
         return (x, c, xi), None
 
@@ -131,7 +131,7 @@ class BrushPlainLayerGroup(nn.Module):
     cfg: BrushNetConfig
 
     @nn.compact
-    def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn):
+    def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn, pad_mask=None):
         cfg = self.cfg
         x, xi = carry
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
@@ -146,9 +146,9 @@ class BrushPlainLayerGroup(nn.Module):
         x = x + xi_skip
         if cfg.with_temp_block:
             x = MVSTDiTBlock(**common, temporal=True, zero_out_projs=True,
-                             name="base_t")(x, y, t, x_mask, t0)
+                             name="base_t")(x, y, t, x_mask, t0, pad_mask)
             xi, xi_skip = MVSTDiTBlock(**brush, temporal=True,
-                                       name="brushnet_t")(xi, y, t_bn, x_mask, t0_bn)
+                                       name="brushnet_t")(xi, y, t_bn, x_mask, t0_bn, pad_mask)
             x = x + xi_skip
         return (x, xi), None
 
@@ -169,10 +169,10 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
                                                 dtype=cfg.dtype,
                                                 name="x_brushnet_embedder")
         self.brush_ctrl_layers = _scan(BrushCtrlLayerGroup, cfg, cfg.control_depth,
-                                       "brush_ctrl_layers", num_args=7)
+                                       "brush_ctrl_layers", num_args=8)
         self.brush_plain_layers = _scan(BrushPlainLayerGroup, cfg,
                                         cfg.depth - cfg.control_depth,
-                                        "brush_plain_layers", num_args=7)
+                                        "brush_plain_layers", num_args=8)
         if cfg.sde_inpaint:
             self.t_inpaint_block = nn.Dense(6 * cfg.hidden_size, dtype=cfg.dtype,
                                             kernel_init=xavier_uniform,
@@ -195,9 +195,15 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
                  drop_cond_mask=None, drop_frame_mask=None, x_mask=None,
                  t_inpaint=None, num_timesteps: float = 1000.0,
                  noise_inpaint=None, rngs_key: Optional[jax.Array] = None,
-                 cond_cache=None, simulate_sp: Optional[int] = None):
+                 cond_cache=None, simulate_sp: Optional[int] = None,
+                 frame_valid=None):
         """Forward (reference :1466-1867; SDE :1977-2470). x_inpaint: (b, 3*NC, T_img,
-        H, W) pixels; mask_inpaint: (b, NC, T_img, H, W) in [0, 1]."""
+        H, W) pixels; mask_inpaint: (b, NC, T_img, H, W) in [0, 1].
+        frame_valid: (b, T_img) bucket max-T pad validity (see base class);
+        x_inpaint/mask_inpaint pad frames must be ZERO, not last-frame
+        repeats — the ShallowEncoder's temporal conv is centered (not
+        causal), and zero pads reproduce its unpadded zero-padding exactly
+        on valid frames."""
         cfg = self.cfg
         NC = cfg.nc
         dt = cfg.dtype
@@ -279,7 +285,8 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
             y_cond, c_map = cond_cache
         else:
             y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
-                                               drop_cond_mask, drop_frame_mask)
+                                               drop_cond_mask, drop_frame_mask,
+                                               frame_valid)
             if y_cond.shape[1] != T and y_cond.shape[1] > 1:
                 y_cond = jax.image.resize(
                     y_cond, (y_cond.shape[0], T) + y_cond.shape[2:],
@@ -306,11 +313,14 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
         x_mask_rep = None
         if x_mask is not None:
             x_mask_rep = jnp.repeat(x_mask.astype(bool), NC, axis=0)
+        pad_mask_rep = self._latent_pad_mask(frame_valid, T_img, T, NC)
 
         (x, c, xi_tok), _ = self.brush_ctrl_layers(
-            (x, c, xi_tok), None, y_cond, t_mlp, t_bn, x_mask_rep, t0_mlp, t0_bn)
+            (x, c, xi_tok), None, y_cond, t_mlp, t_bn, x_mask_rep, t0_mlp, t0_bn,
+            pad_mask_rep)
         (x, xi_tok), _ = self.brush_plain_layers(
-            (x, xi_tok), None, y_cond, t_mlp, t_bn, x_mask_rep, t0_mlp, t0_bn)
+            (x, xi_tok), None, y_cond, t_mlp, t_bn, x_mask_rep, t0_mlp, t0_bn,
+            pad_mask_rep)
 
         x = x.reshape(B, T * S, -1)
         t_fin = jnp.repeat(t_emb, NC, axis=0)

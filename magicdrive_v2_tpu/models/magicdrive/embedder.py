@@ -78,14 +78,27 @@ def cog_temp_down(x: jnp.ndarray) -> jnp.ndarray:
     return (x[:, 0::2] + x[:, 1::2]) / 2
 
 
-def make_time_downsampler(factor) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """(reference embedder.py:426-433) factor -1: mean; 4.5: cog x2; 0: identity."""
+def make_time_downsampler(factor) -> Callable[..., jnp.ndarray]:
+    """(reference embedder.py:426-433) factor -1: mean; 4.5: cog x2; 0: identity.
+
+    `valid`: optional (B, T) frame-validity mask for full-length clips padded
+    to a bucket max-T. factor -1 becomes a masked mean; factor 4.5 needs no
+    masking — valid lengths are trimmed to 8n+1 (micro_frame) so the pairwise
+    halvings never average a valid frame with a padded one (pads start at an
+    odd index and pair only with pads); factor 0 keeps pads (masked downstream).
+    """
     if factor == -1:
-        return lambda x: jnp.mean(x, axis=1, keepdims=True)
+        def mean_down(x, valid=None):
+            if valid is None:
+                return jnp.mean(x, axis=1, keepdims=True)
+            v = valid.astype(x.dtype).reshape(valid.shape + (1,) * (x.ndim - 2))
+            return (x * v).sum(axis=1, keepdims=True) / \
+                jnp.maximum(v.sum(axis=1, keepdims=True), 1.0)
+        return mean_down
     if factor == 4.5:
-        return lambda x: cog_temp_down(cog_temp_down(x))
+        return lambda x, valid=None: cog_temp_down(cog_temp_down(x))
     if factor == 0:
-        return lambda x: x
+        return lambda x, valid=None: x
     raise NotImplementedError(factor)
 
 
@@ -100,7 +113,11 @@ class TemporalTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """kv_mask: optional (B', T) bool validity — padded frames (full-length
+        clips padded to a bucket max-T) are excluded as attention keys so they
+        cannot leak into valid frames' condition tokens."""
         if self.use_scale_shift_table:
             table = self.param(
                 "scale_shift_table",
@@ -114,7 +131,7 @@ class TemporalTransformerBlock(nn.Module):
         x_m = t2i_modulate(layer_norm_fp32(x), sh_mha, sc_mha)
         x_m = SelfAttention(self.hidden_size, self.num_heads, qkv_bias=True,
                             qk_norm=self.qk_norm, use_rope=True, dtype=self.dtype,
-                            name="attn")(x_m)
+                            name="attn")(x_m, kv_mask=kv_mask)
         x = x + g_mha * x_m
         x_m = t2i_modulate(layer_norm_fp32(x), sh_mlp, sc_mlp)
         # normal(0.02) init per reference initialize_weights (magicdrive_stdit3.py:832-835)
@@ -264,9 +281,11 @@ class ContinuousBBoxWithTextTempEmbedding(ContinuousBBoxWithTextEmbedding):
                                        bias_init=zeros_init, name="final_proj")
         self.downsampler = make_time_downsampler(self.time_downsample_factor)
 
-    def __call__(self, bboxes, classes, null_mask=None, mask=None, box_latent=None):
-        """bboxes: (B, T, N, n_corners, 3); classes: (B, T, N); masks: (B, T, N).
-        Returns (B, T_latent, N, D)."""
+    def __call__(self, bboxes, classes, null_mask=None, mask=None, box_latent=None,
+                 frame_valid=None):
+        """bboxes: (B, T, N, n_corners, 3); classes: (B, T, N); masks: (B, T, N);
+        frame_valid: optional (B, T) bool — padded frames excluded from the
+        temporal attention keys and the downsampler. Returns (B, T_latent, N, D)."""
         B, T, N = classes.shape
         flat = lambda a: None if a is None else a.reshape((B * T,) + a.shape[2:])
         emb = self.embed_boxes(bboxes.reshape(B * T, N, self.n_corners, 3),
@@ -275,11 +294,15 @@ class ContinuousBBoxWithTextTempEmbedding(ContinuousBBoxWithTextEmbedding):
         D = emb.shape[-1]
         # (B*T, N, D) -> (B*N, T, D): temporal attention per box track
         emb = emb.reshape(B, T, N, D).transpose(0, 2, 1, 3).reshape(B * N, T, D)
-        emb = self.temp_block(emb)
+        kv_mask = None
+        if frame_valid is not None:
+            kv_mask = jnp.broadcast_to(frame_valid.astype(bool)[:, None],
+                                       (B, N, T)).reshape(B * N, T)
+        emb = self.temp_block(emb, kv_mask=kv_mask)
         emb = emb.reshape(B, N, T, D).transpose(0, 2, 1, 3)  # (B, T, N, D)
         if self.after_proj:
             emb = self.final_proj(emb)
-        return self.downsampler(emb)
+        return self.downsampler(emb, valid=frame_valid)
 
 
 class CamEmbedder(nn.Module):
@@ -352,7 +375,10 @@ class CamEmbedderTemp(CamEmbedder):
         self.downsampler = make_time_downsampler(self.time_downsample_factor)
 
     def embed_cam(self, param: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                  T: Optional[int] = None, S: Optional[int] = None):
+                  T: Optional[int] = None, S: Optional[int] = None,
+                  frame_valid: Optional[jnp.ndarray] = None):
+        """frame_valid: optional (b, T) bool — padded frames excluded from the
+        temporal attention keys and the downsampler (full-length bucket pad)."""
         if param.shape[1] == 4:
             param = param[:, :-1]
         bs = param.shape[0]
@@ -367,11 +393,15 @@ class CamEmbedderTemp(CamEmbedder):
         D = token.shape[-1]
         b = bs // (T * S)
         token = token.reshape(b, T, S, D).transpose(0, 2, 1, 3).reshape(b * S, T, D)
-        token = self.temp_block(token)
+        kv_mask = None
+        if frame_valid is not None:
+            kv_mask = jnp.broadcast_to(
+                frame_valid.astype(bool)[:, None], (b, S, T)).reshape(b * S, T)
+        token = self.temp_block(token, kv_mask=kv_mask)
         token = token.reshape(b, S, T, D).transpose(0, 2, 1, 3)  # (b, T, S, D)
         if self.after_proj:
             token = self.final_proj(token)
-        return self.downsampler(token), emb
+        return self.downsampler(token, valid=frame_valid), emb
 
 
 class MapControlEmbedding(nn.Module):

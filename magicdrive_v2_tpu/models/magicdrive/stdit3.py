@@ -178,8 +178,12 @@ class MVSTDiTBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, y, t, x_mask, t0):
+    def __call__(self, x, y, t, x_mask, t0, pad_mask=None):
         # x: (B, T, S, C) with B = b*NC; y: (B, Ty, L, C); t/t0: (b, 6C); x_mask: (B, T)
+        # pad_mask: optional (B, T) bool frame validity — False frames (bucket
+        # max-T padding for full-length clips) are excluded as TEMPORAL
+        # attention keys so they cannot influence valid frames; spatial /
+        # cross-view / cross-attn mix within a frame only, so they need none.
         B, T, S, C = x.shape
         b = t.shape[0]
         NC = B // b
@@ -226,11 +230,14 @@ class MVSTDiTBlock(nn.Module):
         if self.temporal:
             import os as _os
             if _os.environ.get("MDV2_TEMPORAL_ATTN") == "legacy":
-                xt = attn(x_m.transpose(0, 2, 1, 3).reshape(B * S, T, C))
+                kvm = None if pad_mask is None else jnp.broadcast_to(
+                    pad_mask[:, None], (B, S, T)).reshape(B * S, T)
+                xt = attn(x_m.transpose(0, 2, 1, 3).reshape(B * S, T, C),
+                          kv_mask=kvm)
                 x_m = xt.reshape(B, S, T, C).transpose(0, 2, 1, 3)
             else:
                 # (B, T, S, C) einsum layout: no transposes, batched over S
-                x_m = attn(x_m)
+                x_m = attn(x_m, kv_mask=pad_mask)
         else:
             xs = attn(x_m.reshape(B * T, S, C))
             x_m = xs.reshape(B, T, S, C)
@@ -308,7 +315,7 @@ class CtrlLayerGroup(nn.Module):
     cfg: MagicDriveSTDiT3Config
 
     @nn.compact
-    def __call__(self, carry, _, y, t, x_mask, t0):
+    def __call__(self, carry, _, y, t, x_mask, t0, pad_mask=None):
         cfg = self.cfg
         x, c = carry
         x, c = _name_carry(cfg, x), _name_carry(cfg, c)
@@ -322,10 +329,10 @@ class CtrlLayerGroup(nn.Module):
         x = x + c_skip
         if cfg.with_temp_block:
             x = MVSTDiTBlock(**common, temporal=True, zero_out_projs=True,
-                             name="base_t")(x, y, t, x_mask, t0)
+                             name="base_t")(x, y, t, x_mask, t0, pad_mask)
         if not cfg.control_skip_temporal:
             c, c_skip = MVSTDiTBlock(**common, temporal=True, is_control_block=True,
-                                     name="control_t")(c, y, t, x_mask, t0)
+                                     name="control_t")(c, y, t, x_mask, t0, pad_mask)
             x = x + c_skip
         return (x, c), None
 
@@ -336,7 +343,7 @@ class PlainLayerGroup(nn.Module):
     cfg: MagicDriveSTDiT3Config
 
     @nn.compact
-    def __call__(self, carry, _, y, t, x_mask, t0):
+    def __call__(self, carry, _, y, t, x_mask, t0, pad_mask=None):
         cfg = self.cfg
         x = _name_carry(cfg, carry)
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
@@ -345,7 +352,7 @@ class PlainLayerGroup(nn.Module):
         x = MVSTDiTBlock(**common, name="base_s")(x, y, t, x_mask, t0)
         if cfg.with_temp_block:
             x = MVSTDiTBlock(**common, temporal=True, zero_out_projs=True,
-                             name="base_t")(x, y, t, x_mask, t0)
+                             name="base_t")(x, y, t, x_mask, t0, pad_mask)
         return x, None
 
 
@@ -363,7 +370,7 @@ def _name_carry(cfg, x):
     return x
 
 
-def _scan(module_cls, cfg, length, name, num_args: int = 5):
+def _scan(module_cls, cfg, length, name, num_args: int = 6):
     target = module_cls
     if cfg.grad_checkpoint:
         policy = None
@@ -450,9 +457,12 @@ class MagicDriveSTDiT3(nn.Module):
         y = self.y_embedder(y, force_drop_ids=force_drop)  # (b, 1, L, C)
         return y[:, 0]
 
-    def encode_box(self, bbox: Dict[str, jnp.ndarray], drop_mask: jnp.ndarray):
+    def encode_box(self, bbox: Dict[str, jnp.ndarray], drop_mask: jnp.ndarray,
+                   frame_valid=None):
         """bbox masks use {0: null/pad, 1: keep, -1: visible-masked}; drop_mask
-        (B, T_img) 0 -> drop (reference encode_box, magicdrive_stdit3.py:882-907)."""
+        (B, T_img) 0 -> drop (reference encode_box, magicdrive_stdit3.py:882-907).
+        frame_valid: optional (B, T_img) validity for bucket max-T padded clips;
+        only the temporal embedder mixes frames, so only it consumes the mask."""
         masks = bbox["masks"]
         B, T, L = masks.shape
         drop = jnp.broadcast_to(drop_mask[:, :, None], (B, T, L))
@@ -461,16 +471,25 @@ class MagicDriveSTDiT3(nn.Module):
         keep = jnp.where(masks == -1, 0.0, keep)
         keep = jnp.where((masks == 1) & (drop == 0), 0.0, keep)
         classes = jnp.clip(bbox["classes"].astype(jnp.int32), 0, None)
+        kw = {}
+        if frame_valid is not None and isinstance(
+                self.bbox_embedder, ContinuousBBoxWithTextTempEmbedding):
+            kw["frame_valid"] = frame_valid
         return self.bbox_embedder(bbox["bboxes"], classes, null_mask, keep,
-                                  bbox.get("box_latent"))
+                                  bbox.get("box_latent"), **kw)
 
     def encode_cond_sequence(self, bbox, cams, rel_pos, y, drop_cond_mask,
-                             drop_frame_mask):
+                             drop_frame_mask, frame_valid=None):
         """Build the per-frame condition sequence [frame, cam, y, boxes]
-        (reference magicdrive_stdit3.py:918-961). Returns (B, T_lat, L_cond, C)."""
+        (reference magicdrive_stdit3.py:918-961). Returns (B, T_lat, L_cond, C).
+        frame_valid: optional (b, T_img) validity mask — full-length clips
+        padded to a bucket max-T keep padded frames out of the temporal
+        embedders' attention/downsampling."""
         b = y.shape[0]
         NC = cams.shape[0] // b
         T_img = cams.shape[1]
+        fv_rep = None if frame_valid is None else jnp.repeat(
+            frame_valid.astype(bool), NC, axis=0)  # (B, T_img)
 
         y_emb = self.encode_text(y, drop_cond_mask)  # (b, L, C)
         y_emb = jnp.repeat(y_emb, NC, axis=0)  # (B, L, C)
@@ -480,7 +499,7 @@ class MagicDriveSTDiT3(nn.Module):
             drop_box = jnp.logical_and(drop_cond_mask[:, None].astype(bool),
                                        drop_frame_mask.astype(bool)).astype(jnp.float32)
             drop_box = jnp.repeat(drop_box, NC, axis=0)  # (B, T_img)
-            bbox_emb = self.encode_box(bbox, drop_box)  # (B, T_lat, L_box, C)
+            bbox_emb = self.encode_box(bbox, drop_box, fv_rep)  # (B, T_lat, L_box, C)
             bbox_emb = self.base_token[None, None, None].astype(bbox_emb.dtype) + bbox_emb
             cond_tail.append(bbox_emb)
 
@@ -497,7 +516,11 @@ class MagicDriveSTDiT3(nn.Module):
         frame_mask = jnp.repeat(
             jnp.repeat(drop_frame_mask, NC, axis=0).reshape(b * NC, T_img, 1),
             S_f, axis=2).reshape(-1)
-        frame_emb, _ = self.frame_embedder.embed_cam(rp_flat, frame_mask, T=T_img, S=S_f)
+        fe_kw = {}
+        if fv_rep is not None and isinstance(self.frame_embedder, CamEmbedderTemp):
+            fe_kw["frame_valid"] = fv_rep
+        frame_emb, _ = self.frame_embedder.embed_cam(rp_flat, frame_mask, T=T_img,
+                                                     S=S_f, **fe_kw)
         # frame_emb: (B, T_lat, S_f, C)
         T_lat = frame_emb.shape[1]
 
@@ -536,10 +559,27 @@ class MagicDriveSTDiT3(nn.Module):
         pt, ph, pw = self.cfg.patch_size
         return (-(-T // pt), -(-H // ph), -(-W // pw))
 
+    def _latent_pad_mask(self, frame_valid, T_img: int, T: int, NC: int):
+        """(b, T_img) pixel-frame validity -> (B, T) latent/token frame validity.
+
+        Latent frame i is decoded by the causal VAE from pixel frames <= 4i, so
+        it is valid iff pixel frame 4i is (T' = (T_img-1)//4 + 1; valid lengths
+        are 8n+1 by the dataset's micro_frame trim). Temporal patching would
+        mix latent frames before the mask applies, hence the patch_size[0]==1
+        requirement (all reference configs use (1, 2, 2))."""
+        if frame_valid is None:
+            return None
+        lat_valid = frame_valid.astype(bool)[:, ::4]
+        assert self.cfg.patch_size[0] == 1 and lat_valid.shape[1] == T, (
+            "frame_valid requires temporal patch 1 and T_img == 4*(T'-1)+1",
+            frame_valid.shape, T_img, T)
+        return jnp.repeat(lat_valid, NC, axis=0)
+
     # ------------------------------------------------------------------
 
     def encode_conditions(self, x_shape, y, maps, bbox, cams, rel_pos,
-                          drop_cond_mask=None, drop_frame_mask=None):
+                          drop_cond_mask=None, drop_frame_mask=None,
+                          frame_valid=None):
         """Precompute the step-independent conditioning (y_cond, c_map) for sampling:
         the Euler loop calls the model 30x (x2 CFG) with identical conditions, and the
         reference re-embeds them every call (magicdrive_stdit3.py:1115-1157). Cache
@@ -562,7 +602,8 @@ class MagicDriveSTDiT3(nn.Module):
             H += h_pad_size
         S = H * W
         y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
-                                           drop_cond_mask, drop_frame_mask)
+                                           drop_cond_mask, drop_frame_mask,
+                                           frame_valid)
         if y_cond.shape[1] != T and y_cond.shape[1] > 1:
             y_cond = jax.image.resize(
                 y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
@@ -590,15 +631,21 @@ class MagicDriveSTDiT3(nn.Module):
     def __call__(self, x, timestep, y, maps, bbox, cams, rel_pos, fps,
                  height: float, width: float, drop_cond_mask=None,
                  drop_frame_mask=None, x_mask=None, cond_cache=None,
-                 simulate_sp: Optional[int] = None):
+                 simulate_sp: Optional[int] = None, frame_valid=None):
         """Forward (reference magicdrive_stdit3.py:1021-1218).
 
         x: (b, C*NC, T', H', W') latents; timestep: (b,); y: (b, 1, L, 4096);
         maps: (b, T_img, C_map, Hm, Wm); bbox: dict or None; cams: (b*NC, T_img, 1, 3, 7);
         rel_pos: (b*NC, T_img, 1, 4, 4); fps: (b,) or (1,);
         height/width: python numbers (static). cond_cache: optional
-        (y_cond, c_map) from encode_conditions. Returns fp32, same shape as x
-        (out_channels folded like in_channels).
+        (y_cond, c_map) from encode_conditions. frame_valid: optional
+        (b, T_img) bool — full-length clips are padded (by repeating the last
+        frame) to one bucket max-T so every scene length shares ONE compiled
+        program (SURVEY.md §7 hard part 1; reference runs each length eagerly,
+        nuscenes_t_dataset.py:843-894); padded frames are excluded from all
+        temporal attention/pooling, so outputs on valid frames match the
+        unpadded run exactly (tests/test_stdit3.py). Returns fp32, same shape
+        as x (out_channels folded like in_channels).
         """
         cfg = self.cfg
         NC = cfg.nc
@@ -647,7 +694,8 @@ class MagicDriveSTDiT3(nn.Module):
             y_cond, c_map = cond_cache
         else:
             y_cond = self.encode_cond_sequence(bbox, cams, rel_pos, y.astype(dt),
-                                               drop_cond_mask, drop_frame_mask)
+                                               drop_cond_mask, drop_frame_mask,
+                                               frame_valid)
             if y_cond.shape[1] != T and y_cond.shape[1] > 1:
                 y_cond = jax.image.resize(
                     y_cond, (y_cond.shape[0], T) + y_cond.shape[2:], method="nearest")
@@ -671,9 +719,12 @@ class MagicDriveSTDiT3(nn.Module):
         x_mask_rep = None
         if x_mask is not None:
             x_mask_rep = jnp.repeat(x_mask.astype(bool), NC, axis=0)  # (B, T)
+        pad_mask_rep = self._latent_pad_mask(frame_valid, T_img, T, NC)
 
-        (x, c), _ = self.ctrl_layers((x, c), None, y_cond, t_mlp, x_mask_rep, t0_mlp)
-        x, _ = self.plain_layers(x, None, y_cond, t_mlp, x_mask_rep, t0_mlp)
+        (x, c), _ = self.ctrl_layers((x, c), None, y_cond, t_mlp, x_mask_rep,
+                                     t0_mlp, pad_mask_rep)
+        x, _ = self.plain_layers(x, None, y_cond, t_mlp, x_mask_rep, t0_mlp,
+                                 pad_mask_rep)
 
         # final layer + unpatchify
         x = x.reshape(B, T * S, -1)
