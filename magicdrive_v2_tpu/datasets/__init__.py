@@ -3,7 +3,8 @@ from .geometry import (boxes_to_corners, ensure_canvas, ensure_positive_z,
                        trans_boxes_to_view, trans_boxes_to_views)
 from .bbox import pad_bboxes_to_maxlen, preprocess_bbox, preprocess_bbox_keep_all
 from .bev import LoadBEVSegmentation, one_hot_decode, one_hot_encode
-from .collate import clip_to_model_batch, collate_clips, collate_fn_single_clip
+from .collate import (clip_to_model_batch, collate_clips,
+                      collate_fn_single_clip, pad_model_batch_to_t)
 from .dataloader import (DataLoader, concat_batches, prepare_dataloader,
                          prepare_multirank_dataloader)
 from .nuscenes import (NuScenesMultiResDataset, NuScenesTDataset,

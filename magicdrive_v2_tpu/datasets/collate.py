@@ -174,3 +174,63 @@ def clip_to_model_batch(batch: Dict[str, Any],
                 out["bbox"], B, NC, T,
                 lambda n: rng.standard_normal((n, box_latent_dim), np.float32))
     return out
+
+
+def pad_model_batch_to_t(batch: Dict[str, Any], target_t: int) -> Dict[str, Any]:
+    """Pad a `clip_to_model_batch` output from its clip length T to `target_t`
+    pixel frames so every full-length scene shares ONE compiled program per
+    bucket (SURVEY.md §7 hard part 1; the reference runs each scene length
+    eagerly instead, nuscenes_t_dataset.py:843-894).
+
+    Per-frame conditioning (maps/cams/rel_pos) and pixels pad by repeating the
+    last valid frame; boxes pad with null entries (masks=0). Adds
+    `frame_valid` (B, target_t) and `num_frames_valid` (B,) — the model
+    excludes pad frames from temporal mixing (stdit3 frame_valid) and
+    timestep_transform uses the valid length. Both T and target_t must be
+    8n+1 (micro-frame trim) so the cog temporal halvings stay pad-aligned.
+    """
+    t = int(batch["num_frames"])
+    if target_t == t:
+        out = dict(batch)
+        b = np.shape(batch["fps"])[0] if "fps" in batch else 1
+        out["frame_valid"] = np.ones((b, t), np.float32)
+        out["num_frames_valid"] = np.full((b,), float(t), np.float32)
+        return out
+    if target_t < t:
+        raise ValueError(f"clip length {t} exceeds bucket max_t {target_t}")
+    for v in (t, target_t):
+        if v % 8 != 1:
+            raise ValueError(f"full-length pad requires 8n+1 frames, got {v}")
+    pad = target_t - t
+
+    def rep_last(a, axis):
+        last = np.take(a, [-1], axis=axis)
+        reps = [1] * a.ndim
+        reps[axis] = pad
+        return np.concatenate([a, np.tile(last, reps)], axis=axis)
+
+    out = dict(batch)
+    if batch.get("x") is not None:
+        out["x"] = rep_last(batch["x"], 2)  # (B*NC, 3, T, H, W)
+    if batch.get("maps") is not None:
+        out["maps"] = rep_last(batch["maps"], 1)
+    if batch.get("cams") is not None:
+        out["cams"] = rep_last(batch["cams"], 1)
+    if batch.get("rel_pos") is not None:
+        out["rel_pos"] = rep_last(batch["rel_pos"], 1)
+    if batch.get("bbox") is not None:
+        bbox = {}
+        for k, v in batch["bbox"].items():
+            padded = np.zeros((v.shape[0], target_t) + v.shape[2:], v.dtype)
+            padded[:, :t] = v
+            if k == "classes":
+                padded[:, t:] = -1
+            bbox[k] = padded  # masks stay 0 on pads -> null boxes
+        out["bbox"] = bbox
+    b = out["maps"].shape[0] if out.get("maps") is not None else 1
+    fv = np.zeros((b, target_t), np.float32)
+    fv[:, :t] = 1.0
+    out["frame_valid"] = fv
+    out["num_frames_valid"] = np.full((b,), float(t), np.float32)
+    out["num_frames"] = target_t
+    return out

@@ -217,6 +217,7 @@ class MagicDrivePipeline:
             loudly, not silently re-embed conditions every Euler step."""
             return apply(params, tuple(z_shape), args["y"], args["maps"],
                          args.get("bbox"), args["cams"], args["rel_pos"],
+                         frame_valid=args.get("frame_valid"),
                          method=type(self.model).encode_conditions)
 
         if not slice_cfg:
@@ -295,13 +296,18 @@ class MagicDrivePipeline:
 
         def build():
             def core(params, z, rng, model_args, null_y, mask, scale):
+                model_args = dict(model_args)
+                # full-length bucket padding: timestep_transform sees the
+                # VALID clip length (dynamic, so one compile serves them all)
+                nf_valid = model_args.pop("num_frames_valid", None)
                 predict = self._build_predict_fn(
                     {**model_args, "height": hf, "width": wf}, scale, slice_cfg,
                     z_shape=tuple(z.shape), null_y=null_y, params=params,
                     use_map0=use_map0)
                 bsz = z.shape[0]
                 hw = dict(height=jnp.full((bsz,), hf), width=jnp.full((bsz,), wf),
-                          num_frames=jnp.full((bsz,), nf))
+                          num_frames=jnp.full((bsz,), nf) if nf_valid is None
+                          else jnp.asarray(nf_valid, jnp.float32))
                 return sched.sample(predict, z, mask=mask, rng=rng, **hw)
 
             return core
@@ -343,7 +349,8 @@ class MagicDrivePipeline:
 
         model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
                                             "fps", "x_inpaint", "mask_inpaint",
-                                            "t_inpaint", "rngs_key", "num_timesteps")
+                                            "t_inpaint", "rngs_key", "num_timesteps",
+                                            "frame_valid", "num_frames_valid")
                       if k in batch}
         if neg_prompts is not None:
             ny = self.text_encoder.encode(list(neg_prompts))["y"]

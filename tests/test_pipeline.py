@@ -255,3 +255,37 @@ def test_sp_pipeline_sample_matches_single_device(pipe):
     ref = pipe.sample(batch, **kw)
     got = pipe_sp.sample(batch, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_full_length_padded_sampling_matches_unpadded(pipe):
+    """Full-length generation (VERDICT r3 item 3): a 9-frame clip padded to the
+    17-frame bucket via pad_model_batch_to_t + frame_valid must produce the
+    SAME latents on valid frames as sampling the unpadded clip — i.e. the
+    whole Euler loop (timestep transform included, via num_frames_valid) is
+    pad-exact, so ONE compiled program per bucket serves every scene length."""
+    from magicdrive_v2_tpu.datasets import pad_model_batch_to_t
+
+    mcfg = pipe.model.cfg
+    b9 = synthetic_batch(mcfg, num_frames=9, height=32, width=40, l_txt=8,
+                         caption_channels=16, map_size=(8, 40, 40), seed=5)
+    for k in ("x", "timestep", "height", "width"):
+        b9.pop(k)
+    rng = np.random.default_rng(11)
+    z9 = rng.standard_normal((1, 4 * 6, 3, 4, 5)).astype(np.float32)
+    z17 = rng.standard_normal((1, 4 * 6, 5, 4, 5)).astype(np.float32)
+    z17[:, :, :3] = z9
+
+    key = jax.random.PRNGKey(3)
+    lat_ref = pipe.sample(dict(b9), num_frames=9, height=32, width=40,
+                          rng=key, z=jnp.asarray(z9), decode=False)
+
+    b17 = pad_model_batch_to_t(
+        {**{k: np.asarray(v) for k, v in b9.items() if k != "bbox"},
+         "bbox": {k: np.asarray(v) for k, v in b9["bbox"].items()},
+         "num_frames": 9}, 17)
+    b17.pop("num_frames")
+    lat_pad = pipe.sample(b17, num_frames=17, height=32, width=40,
+                          rng=key, z=jnp.asarray(z17), decode=False)
+    assert lat_pad.shape[2] == 5
+    np.testing.assert_allclose(np.asarray(lat_pad[:, :, :3]),
+                               np.asarray(lat_ref), rtol=2e-4, atol=2e-4)
