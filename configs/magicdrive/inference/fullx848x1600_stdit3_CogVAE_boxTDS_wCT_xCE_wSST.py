@@ -14,6 +14,10 @@ seed = 42
 outputs = "outputs/test/CogVAE-848"
 
 num_frames = "full"
+# bucket max-T: every scene pads to ONE compiled length (reference anchors ~232
+# frames / T'=58, doc/FAQ.md:94-101; 233 is the nearest 8n+1 grid). Scenes longer
+# than this raise; the decoded video is trimmed to each scene's true length.
+full_bucket_t = 233
 image_size = (848, 1600)
 data_cfg_name = "Nuscenes_400_map_cache_box_t_with_n2t_12Hz_848x1600"
 bbox_mode = "all-xyz"

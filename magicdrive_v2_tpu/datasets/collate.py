@@ -17,7 +17,8 @@ import numpy as np
 
 from .bbox import preprocess_bbox, preprocess_bbox_keep_all
 
-__all__ = ["collate_fn_single_clip", "clip_to_model_batch", "collate_clips"]
+__all__ = ["collate_fn_single_clip", "clip_to_model_batch", "collate_clips",
+           "pad_clip_to_t", "pad_model_batch_to_t"]
 
 _BBOX_PROCESSORS = {1: preprocess_bbox, 2: preprocess_bbox_keep_all}
 
@@ -82,10 +83,66 @@ def collate_fn_single_clip(
     return ret
 
 
+def pad_clip_to_t(clip: Dict[str, Any], target_t: int) -> Dict[str, Any]:
+    """Pad ONE collate_fn_single_clip output from its scene length T to
+    `target_t` frames (bucket max-T), recording `num_frames_valid`.
+
+    Full-length ("full") scenes are ragged (reference runs each length as its
+    own eager torch graph, nuscenes_t_dataset.py:843-894); on TPU every scene
+    in a full bucket pads to one max-T so the bucket is ONE XLA compile.
+    Per-frame tensors pad by repeating the last valid frame (pose/calibration
+    stay physically plausible); boxes pad as null entries (masks 0, classes
+    -1). Both lengths must be 8n+1 (micro-frame trim) so the VAE's causal
+    temporal groups never mix pad into valid frames.
+    """
+    t = clip["pixel_values"].shape[0] if clip.get("pixel_values") is not None \
+        else int(clip["pixel_values_shape"][0])
+    out = dict(clip)
+    out["num_frames_valid"] = t
+    if target_t == t:
+        return out
+    if target_t < t:
+        raise ValueError(f"scene length {t} exceeds full bucket max_t {target_t}")
+    for v in (t, target_t):
+        if v % 8 != 1:
+            raise ValueError(f"full-length pad requires 8n+1 frames, got {v}")
+    pad = target_t - t
+
+    def rep_last(a):
+        return np.concatenate(
+            [a, np.tile(np.take(a, [-1], axis=0), (pad,) + (1,) * (a.ndim - 1))])
+
+    for key in ("pixel_values", "bev_map_with_aux", "camera_param", "frame_emb",
+                "human_imgs", "human_masks"):
+        if clip.get(key) is not None:
+            out[key] = rep_last(clip[key])
+    if clip.get("pixel_values_shape") is not None:
+        shp = np.array(clip["pixel_values_shape"])
+        shp[0] = target_t
+        out["pixel_values_shape"] = shp
+    bb = clip.get("bboxes_3d_data")
+    if bb is not None:
+        padded = {}
+        for k, v in bb.items():
+            fill = -1 if k == "classes" else 0
+            p = np.full((target_t,) + v.shape[1:], fill, v.dtype)
+            p[:t] = v
+            padded[k] = p  # masks stay 0 on pads -> null boxes
+        out["bboxes_3d_data"] = padded
+    out["captions"] = list(clip["captions"]) + [clip["captions"][-1]] * pad
+    return out
+
+
 def collate_clips(clips: Sequence[Dict[str, Any]],
                   bbox_max_len: Optional[int] = None) -> Dict[str, Any]:
     """Stack B clip dicts (same bucket => same T/H/W) into a batch dict, padding
     bboxes to a common max_len (reference misc.collate_bboxes_to_maxlen)."""
+    lens = {c["pixel_values"].shape[0] for c in clips if "pixel_values" in c}
+    if len(lens) > 1:
+        raise ValueError(
+            f"ragged clip lengths {sorted(lens)} in one batch — 'full' scenes "
+            "must be padded to a bucket max-T first (pass full_bucket_t to "
+            "prepare_dataloader / set cfg.full_bucket_t)")
     out: Dict[str, Any] = {}
     for key in ("pixel_values", "bev_map_with_aux", "camera_param", "frame_emb",
                 "human_imgs", "human_masks"):
@@ -123,6 +180,13 @@ def collate_clips(clips: Sequence[Dict[str, Any]],
     out["width"] = clips[0]["width"]
     out["num_frames"] = clips[0]["pixel_values"].shape[0]
     out["fps"] = np.asarray([c.get("fps", 12) for c in clips], np.float32)
+    if any("num_frames_valid" in c for c in clips):
+        t = out["num_frames"]
+        nfv = np.asarray([c.get("num_frames_valid", t) for c in clips],
+                         np.float32)
+        out["num_frames_valid"] = nfv
+        out["frame_valid"] = (np.arange(t)[None] < nfv[:, None]).astype(
+            np.float32)
     return out
 
 
@@ -154,6 +218,9 @@ def clip_to_model_batch(batch: Dict[str, Any],
         "width": float(batch["width"]),
         "num_frames": int(batch["num_frames"]),
     }
+    for k in ("frame_valid", "num_frames_valid"):  # full-bucket pad validity
+        if k in batch:
+            out[k] = batch[k]
     cams = batch["camera_param"]  # (B, T, NC, 3, 7)
     out["cams"] = np.transpose(cams, (0, 2, 1, 3, 4)).reshape(
         B * NC, T, 1, 3, 7)

@@ -17,7 +17,7 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, Optional
 
-from .collate import collate_clips
+from .collate import collate_clips, pad_clip_to_t
 from .sampler import BucketSampler, StatefulSampler
 
 __all__ = ["DataLoader", "prepare_dataloader", "prepare_multirank_dataloader",
@@ -78,13 +78,46 @@ class DataLoader:
             stop.set()
 
 
+def make_full_bucket_collate(full_bucket_t: int,
+                             collate_fn: Callable = collate_clips) -> Callable:
+    """Collate that pads ragged "full" scenes (dataset items flagged
+    `is_full_clip`) to ONE bucket max-T before stacking, so the whole full
+    bucket trains as a single compiled program (SURVEY.md §7 hard part 1).
+    Scenes whose fps-subsampled length is not 8n+1 are first trimmed down to
+    8n+1 — the same micro-frame rule build_clips applies at the base rate."""
+    def collate(items):
+        out = []
+        for it in items:
+            if it.pop("is_full_clip", False):
+                t = it["pixel_values"].shape[0]
+                t8 = (t - 1) // 8 * 8 + 1
+                if t8 != t:
+                    it = {k: (v[:t8] if k in ("pixel_values", "bev_map_with_aux",
+                                              "camera_param", "frame_emb",
+                                              "human_imgs", "human_masks",
+                                              "captions") and v is not None
+                              else v) for k, v in it.items()}
+                    if it.get("bboxes_3d_data") is not None:
+                        it["bboxes_3d_data"] = {k: v[:t8] for k, v in
+                                                it["bboxes_3d_data"].items()}
+                it = pad_clip_to_t(it, full_bucket_t)
+            out.append(it)
+        return collate_fn(out)
+    return collate
+
+
 def prepare_dataloader(dataset, *, bucket_config: Optional[Dict[str, int]] = None,
                        batch_size: int = 1, num_replicas: int = 1, rank: int = 0,
                        shuffle: bool = True, seed: int = 0, drop_last: bool = False,
                        num_workers: int = 2, prefetch: int = 2,
-                       collate_fn: Callable = collate_clips):
+                       collate_fn: Callable = collate_clips,
+                       full_bucket_t: Optional[int] = None):
     """Build (loader, sampler). Bucketed path when the dataset exposes
-    `as_buckets()` (multi-res), plain stateful sampling otherwise."""
+    `as_buckets()` (multi-res), plain stateful sampling otherwise.
+    full_bucket_t: bucket max-T for ragged "full" scenes (see
+    make_full_bucket_collate); derived via `max_full_clip_len` by callers."""
+    if full_bucket_t is not None:
+        collate_fn = make_full_bucket_collate(full_bucket_t, collate_fn)
     if hasattr(dataset, "as_buckets") and bucket_config is not None:
         sampler = BucketSampler(dataset.as_buckets(), bucket_config,
                                 num_replicas=num_replicas, rank=rank,

@@ -32,7 +32,35 @@ IMG_FPS = 120
 logger = logging.getLogger(__name__)
 
 __all__ = ["NuScenesTDataset", "NuScenesVariableDataset", "NuScenesMultiResDataset",
-           "frame_from_info"]
+           "frame_from_info", "max_full_clip_len"]
+
+
+def max_full_clip_len(dataset) -> int:
+    """Longest "full" clip (pixel frames, after fps subsampling), snapped down
+    to 8n+1 — the derived bucket max-T when cfg.full_bucket_t is unset. Every
+    full-length scene pads to this ONE length so the whole "full" bucket is a
+    single XLA compile (the reference instead runs each scene length eagerly,
+    nuscenes_t_dataset.py:843-894 / doc FAQ "full-length" rows)."""
+    def longest(ds) -> int:
+        if isinstance(ds, NuScenesMultiResDataset):
+            return max((longest(d) for d in ds.datasets.values()), default=0)
+        if isinstance(ds, NuScenesVariableDataset):
+            clips = ds.clip_infos.get("full", [])
+            if not clips:
+                return 0
+            fps_list = [f for f, t in zip(ds.fps_lists or [], ds.clip_infos)
+                        if t == "full"]
+            min_interval = min((ds.base_fps // f for fl in fps_list for f in fl),
+                               default=1)
+            return max((len(c) - 1) // min_interval + 1 for c in clips)
+        if getattr(ds, "num_frames", None) == "full":
+            return max((len(c) for c in ds.clip_infos), default=0)
+        return 0
+
+    n = longest(dataset)
+    if n <= 0:
+        raise ValueError("dataset has no 'full' clips to derive a bucket max-T")
+    return (n - 1) // 8 * 8 + 1
 
 
 def frame_from_info(info: dict, view_order: Optional[Sequence[str]] = None) -> dict:
@@ -312,6 +340,8 @@ class NuScenesTDataset:
         is_video = self.num_frames == "full" or self.num_frames > 1
         ret["fps"] = self.fps if is_video else IMG_FPS
         ret["num_frames"] = len(frames)
+        if self.num_frames == "full":
+            ret["is_full_clip"] = True  # ragged scene -> pad to bucket max-T
         return ret
 
     def __getitem__(self, index):
@@ -382,6 +412,8 @@ class NuScenesVariableDataset(NuScenesTDataset):
         ret = self.load_frames(frames)
         if ret is None:
             return None
+        if real_t == "full":
+            ret["is_full_clip"] = True
         real_t = len(frames)
         ret["fps"] = IMG_FPS if real_t == 1 else fps
         ret["num_frames"] = real_t

@@ -33,6 +33,17 @@ class TrainState(struct.PyTreeNode):
         return int(self.step)
 
 
+def combine_frame_mask(mask, frame_valid):
+    """Merge the x_mask conditioning mask (b, T') with full-length pad
+    validity (b, T_img): pad LATENT frames drop out of the loss (mean_flat
+    denominator counts only valid frames) and ride the x_mask t0 path.
+    Latent i maps to pixel frame 4i (temporal patch 1, cog 4x down)."""
+    if frame_valid is None:
+        return mask
+    lat_valid = frame_valid[:, ::4]
+    return lat_valid if mask is None else mask * lat_valid
+
+
 def create_train_state(params, tx: optax.GradientTransformation,
                        ema: bool = True) -> TrainState:
     return TrainState(
@@ -60,17 +71,24 @@ def make_train_step(model: MagicDriveSTDiT3, scheduler: RFLOW,
                      "drop_frame_mask")
         cond = {k: batch[k] for k in cond_keys if k in batch}
         x = batch["x"]
-        mask = batch.get("mask")
         b = x.shape[0]
+        # full-length bucket padding: frame_valid excludes pad frames from
+        # temporal mixing and the loss; timestep_transform sees each sample's
+        # TRUE length (dynamic (b,) arg — one compile per padded bucket)
+        frame_valid = batch.get("frame_valid")
+        nf_valid = batch.get("num_frames_valid")
+        mask = combine_frame_mask(batch.get("mask"), frame_valid)
         hw = dict(height=jnp.full((b,), float(height)),
                   width=jnp.full((b,), float(width)),
-                  num_frames=jnp.full((b,), float(num_frames)))
+                  num_frames=jnp.full((b,), float(num_frames)) if nf_valid is None
+                  else jnp.asarray(nf_valid, jnp.float32))
 
         def loss_fn(params):
             def model_fn(x_t, t, x_mask):
                 return model.apply(params, x_t, t, **cond, height=float(height),
                                    width=float(width), x_mask=x_mask,
-                                   simulate_sp=simulate_sp)
+                                   simulate_sp=simulate_sp,
+                                   frame_valid=frame_valid)
 
             out = scheduler.training_losses(model_fn, rng, x, mask=mask, **hw)
             return out["loss"].mean(), out["t"]
@@ -157,11 +175,14 @@ def make_brushnet_train_step(model, scheduler, tx, *, height: float, width: floa
                      "mask_inpaint")
         cond = {k: batch[k] for k in cond_keys if k in batch}
         x = batch["x"]
-        mask = batch.get("mask")
         b = x.shape[0]
+        frame_valid = batch.get("frame_valid")
+        nf_valid = batch.get("num_frames_valid")
+        mask = combine_frame_mask(batch.get("mask"), frame_valid)
         hw = dict(height=jnp.full((b,), float(height)),
                   width=jnp.full((b,), float(width)),
-                  num_frames=jnp.full((b,), float(num_frames)))
+                  num_frames=jnp.full((b,), float(num_frames)) if nf_valid is None
+                  else jnp.asarray(nf_valid, jnp.float32))
         loss_rng, noise_rng = jax.random.split(rng)
 
         def loss_fn(params):
@@ -171,11 +192,13 @@ def make_brushnet_train_step(model, scheduler, tx, *, height: float, width: floa
                                        width=float(width), x_mask=x_mask,
                                        t_inpaint=t_inpaint,
                                        num_timesteps=float(scheduler.num_timesteps),
-                                       rngs_key=noise_rng)
+                                       rngs_key=noise_rng,
+                                       frame_valid=frame_valid)
             else:
                 def model_fn(x_t, t, x_mask):
                     return model.apply(params, x_t, t, **cond, height=float(height),
-                                       width=float(width), x_mask=x_mask)
+                                       width=float(width), x_mask=x_mask,
+                                       frame_valid=frame_valid)
             out = scheduler.training_losses(model_fn, loss_rng, x, mask=mask, **hw)
             return out["loss"].mean(), out["t"]
 

@@ -56,6 +56,24 @@ def _null_cams_like(cams: jnp.ndarray, uncond: jnp.ndarray) -> jnp.ndarray:
     return out + jnp.asarray(uncond, cams.dtype)[None, None, None]
 
 
+def resolve_num_frames(cfg, cli_num_frames=None, app_name: str = "app") -> int:
+    """Resolve cfg num_frames, honoring num_frames='full' LOUDLY: a full-length
+    run needs full_bucket_t (an 8n+1 bucket max-T) or an explicit --num-frames
+    — never a silent fallback to 17 (the round-3 class of coercion bugs)."""
+    if cli_num_frames:
+        return int(cli_num_frames)
+    nf = cfg.get("num_frames", 17)
+    if nf == "full":
+        t = int(cfg.get("full_bucket_t", 0) or 0)
+        if t % 8 != 1:
+            raise ValueError(
+                f"{app_name}: num_frames='full' needs full_bucket_t (an 8n+1 "
+                "scene length) in the config or an explicit --num-frames; got "
+                f"full_bucket_t={cfg.get('full_bucket_t')!r}")
+        return t
+    return int(nf)
+
+
 def add_null_condition(model_args: Dict, uncond_cam, uncond_rel_pos,
                        prepend: bool = False, use_map0: bool = False) -> Dict:
     """Batched-CFG condition doubling (reference inference_utils.py:229-289): appends

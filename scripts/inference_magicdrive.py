@@ -68,7 +68,11 @@ def main():
 
     pipe = MagicDrivePipeline.from_config(cfg)
     ckpt = args.ckpt_path or cfg.get("ckpt_path")
-    if ckpt and os.path.exists(ckpt):
+    if ckpt and ckpt != "???":
+        if not os.path.exists(ckpt):
+            # a configured-but-missing checkpoint must not silently fall
+            # back to random init (VERDICT r3 item 8 class)
+            raise FileNotFoundError(f"ckpt_path {ckpt!r} does not exist")
         logger.info("loading reference checkpoint %s", ckpt)
         sd = load_torch_file(ckpt)
         pipe.params = jax.tree_util.tree_map(

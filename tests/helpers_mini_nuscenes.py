@@ -9,15 +9,15 @@ CAMS = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
         "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"]
 
 
-def generate(root: str) -> str:
+def generate(root: str, scene_lengths=(6, 6)) -> str:
     from PIL import Image
     rng = np.random.default_rng(0)
     os.makedirs(f"{root}/samples", exist_ok=True)
     infos, scene_tokens = [], []
     ts = 0
-    for scene in range(2):
+    for scene, n_frames in enumerate(scene_lengths):
         tokens = []
-        for fi in range(6):
+        for fi in range(n_frames):
             token = f"s{scene}f{fi}" if fi % 2 == 0 else f"s{scene}f{fi};interp"
             tokens.append(token)
             cams = {}

@@ -239,6 +239,64 @@ def test_collate_single_clip_and_batch_adapter():
     assert np.allclose(lat[:, 0, 0], lat[:, 1, 1])  # same instance, any view/frame
 
 
+def test_full_bucket_clip_padding():
+    """Ragged "full" scenes pad to ONE bucket max-T (per-frame tensors repeat
+    the last valid frame, boxes pad null) and thread frame_valid /
+    num_frames_valid through collate_clips + clip_to_model_batch; unpadded
+    ragged batches fail LOUDLY (VERDICT r3 items 3b/8)."""
+    from magicdrive_v2_tpu.datasets import (make_full_bucket_collate,
+                                            pad_clip_to_t)
+
+    def mk_clip(t):
+        clip = collate_fn_single_clip(
+            _full_frames(t=t), template="{description}", frame_emb="next2top",
+            bbox_mode="all-xyz", bbox_processor_type=2, is_train=False)
+        clip["fps"] = 12
+        return clip
+
+    c9, c17 = mk_clip(9), mk_clip(17)
+    with pytest.raises(ValueError, match="full_bucket_t"):
+        collate_clips([c9, dict(c17)])
+
+    p9 = pad_clip_to_t(dict(c9), 17)
+    assert p9["pixel_values"].shape[0] == 17
+    assert p9["num_frames_valid"] == 9
+    # pads repeat the last valid frame; boxes pad null
+    np.testing.assert_array_equal(p9["pixel_values"][9:],
+                                  np.repeat(c9["pixel_values"][8:9], 8, 0))
+    np.testing.assert_array_equal(p9["camera_param"][16], c9["camera_param"][8])
+    assert (p9["bboxes_3d_data"]["masks"][9:] == 0).all()
+    assert (p9["bboxes_3d_data"]["classes"][9:] == -1).all()
+    assert len(p9["captions"]) == 17
+
+    batch = collate_clips([p9, dict(c17)])
+    assert batch["num_frames"] == 17
+    np.testing.assert_array_equal(batch["num_frames_valid"], [9, 17])
+    np.testing.assert_array_equal(batch["frame_valid"][0],
+                                  [1] * 9 + [0] * 8)
+    assert batch["frame_valid"][1].all()
+
+    mb = clip_to_model_batch(batch)
+    assert mb["frame_valid"].shape == (2, 17)
+    assert mb["x"].shape[2] == 17
+
+    # the loader-side collate pads is_full_clip items (and 8n+1-trims first)
+    collate = make_full_bucket_collate(17)
+    c13 = mk_clip(13)  # fps-subsampled full clip, not 8n+1 -> trim to 9
+    c13["is_full_clip"] = True
+    c9b = mk_clip(9)
+    c9b["is_full_clip"] = True
+    b2 = collate([c13, c9b])
+    assert b2["num_frames"] == 17
+    np.testing.assert_array_equal(b2["num_frames_valid"], [9, 9])
+
+    # non-8n+1 targets / shrinking are programmer errors, not silent clips
+    with pytest.raises(ValueError, match="8n\\+1"):
+        pad_clip_to_t(dict(c9), 16)
+    with pytest.raises(ValueError, match="exceeds"):
+        pad_clip_to_t(dict(c17), 9)
+
+
 # ---------------- samplers ----------------
 
 def test_bucket_sampler_static_shape_batches_and_resume():

@@ -257,6 +257,21 @@ def test_sp_pipeline_sample_matches_single_device(pipe):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_resolve_num_frames_full_is_loud():
+    """num_frames='full' resolves via full_bucket_t or --num-frames, and FAILS
+    otherwise — no silent fallback to 17 (VERDICT r3 item 8)."""
+    from magicdrive_v2_tpu.config import Config
+    from magicdrive_v2_tpu.utils.inference_utils import resolve_num_frames
+
+    assert resolve_num_frames(Config(num_frames=17)) == 17
+    assert resolve_num_frames(Config(num_frames="full", full_bucket_t=233)) == 233
+    assert resolve_num_frames(Config(num_frames="full"), cli_num_frames=9) == 9
+    with pytest.raises(ValueError, match="full_bucket_t"):
+        resolve_num_frames(Config(num_frames="full"))
+    with pytest.raises(ValueError, match="8n\\+1"):
+        resolve_num_frames(Config(num_frames="full", full_bucket_t=16))
+
+
 def test_full_length_padded_sampling_matches_unpadded(pipe):
     """Full-length generation (VERDICT r3 item 3): a 9-frame clip padded to the
     17-frame bucket via pad_model_batch_to_t + frame_valid must produce the

@@ -89,6 +89,33 @@ def test_forward_shape_and_dtype(model_and_params):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
+def test_full_length_token_shape_forward():
+    """Full-length smoke at the flagship temporal extent (VERDICT r3 item 3c):
+    T_img=233 -> T'=59 latent frames (the reference's ~20 s scene anchor,
+    README_OLD.md:218 / doc/FAQ.md full-length rows, 232f/T'=58 — ours is the
+    nearest 8n+1 grid) at the REAL 224x400 spatial token grid (28x50 latents,
+    patch 2 -> 350 tokens/frame). A scene valid to 225 frames padded to the
+    233 bucket must leave valid-frame outputs bit-identical when pad-frame
+    latents change — full-length generation is pad-exact at scale, not just
+    at the 17-frame test shape."""
+    cfg = tiny_config(depth=2, control_depth=1)
+    model = MagicDriveSTDiT3(cfg)
+    inputs = tiny_inputs(jax.random.PRNGKey(0), T_img=233, H=224, W=400,
+                         L_box=2)
+    fv = jnp.zeros((1, 233)).at[:, :225].set(1.0)
+    params = model.init(jax.random.PRNGKey(1), **inputs, frame_valid=fv)
+    fwd = jax.jit(lambda p, x: model.apply(
+        p, **{**inputs, "x": x}, frame_valid=fv))
+    out = fwd(params, inputs["x"])
+    assert out.shape == (1, 4 * NC, 59, 28, 50)
+    valid = np.asarray(out[:, :, :57])  # 225 pixel frames -> 57 latent frames
+    assert np.isfinite(valid).all()
+    x2 = inputs["x"].at[:, :, 57:].add(3.0)  # garbage on pad latent frames
+    out2 = fwd(params, x2)
+    np.testing.assert_array_equal(np.asarray(out2[:, :, :57]), valid)
+
+
 @pytest.mark.heavy
 def test_zero_init_gives_base_only_behavior(model_and_params):
     """With zero-init control/mva/temporal projections, the control branch and
@@ -329,6 +356,36 @@ def test_offload_carry_remat_matches_full():
     flat_off = jax.tree_util.tree_leaves(g_off)
     for a, b in zip(flat_full, flat_off):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dots_remat_matches_full():
+    """remat_policy="dots" (save matmul outputs; backward re-runs only cheap
+    elementwise ops — the r4 train-MFU lever, docs/PERF.md) must be a pure
+    rematerialization-schedule change: loss AND grads identical to full remat.
+    Unknown policies fail loudly, not silently as 'full'."""
+    import dataclasses
+
+    cfg = tiny_config(grad_checkpoint=True)
+    inputs = tiny_inputs(jax.random.PRNGKey(1))
+    model_full = MagicDriveSTDiT3(cfg)
+    params = model_full.init(jax.random.PRNGKey(7), **inputs)
+    model_dots = MagicDriveSTDiT3(dataclasses.replace(cfg, remat_policy="dots"))
+
+    def loss_fn(model):
+        def f(p):
+            return (model.apply(p, **inputs) ** 2).mean()
+        return jax.jit(jax.value_and_grad(f))
+
+    l_full, g_full = loss_fn(model_full)(params)
+    l_dots, g_dots = loss_fn(model_dots)(params)
+    np.testing.assert_allclose(float(l_full), float(l_dots), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    bad = MagicDriveSTDiT3(dataclasses.replace(cfg, remat_policy="nonsense"))
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad.init(jax.random.PRNGKey(0), **inputs)
 
 
 def test_frame_valid_padding_matches_unpadded():

@@ -48,6 +48,89 @@ def test_train_step_decreases_loss_and_updates():
 
 
 @pytest.mark.heavy
+def test_full_bucket_training_matches_unpadded():
+    """Full-length training (VERDICT r3 item 3b): a 9-frame clip padded to the
+    17-frame bucket (garbage latents on pad frames) must yield the SAME loss
+    and the SAME parameter gradients as training on the unpadded clip — pad
+    frames are excluded from temporal mixing (frame_valid), from the loss
+    (combine_frame_mask), and timestep_transform sees the true length
+    (num_frames_valid), so ONE compiled step per bucket trains every scene."""
+    from magicdrive_v2_tpu.datasets import pad_model_batch_to_t
+    from magicdrive_v2_tpu.training.trainer import (combine_frame_mask,
+                                                    make_train_step,
+                                                    create_train_state)
+    from magicdrive_v2_tpu.utils.train_utils import make_optimizer
+
+    cfg = tiny_config(grad_checkpoint=False)
+    model = MagicDriveSTDiT3(cfg)
+    b9 = synthetic_batch(cfg, num_frames=9, height=32, width=40, l_txt=8,
+                         caption_channels=16, map_size=(8, 40, 40), seed=7)
+    h, w, ts = b9.pop("height"), b9.pop("width"), b9.pop("timestep")
+    params = model.init(jax.random.PRNGKey(0), **b9, height=h, width=w,
+                        timestep=ts)
+    x9 = b9.pop("x")  # (1, C*NC, 3, 4, 5) latents
+
+    cond17 = pad_model_batch_to_t(
+        {**{k: np.asarray(v) for k, v in b9.items() if k not in ("bbox", "y")},
+         "bbox": {k: np.asarray(v) for k, v in b9["bbox"].items()},
+         "num_frames": 9}, 17)
+    cond17.pop("num_frames")
+    cond17["y"] = b9["y"]
+    frame_valid = jnp.asarray(cond17.pop("frame_valid"))
+    cond17.pop("num_frames_valid")
+    rng = np.random.default_rng(3)
+    x17 = jnp.asarray(rng.standard_normal((1, x9.shape[1], 5, 4, 5)),
+                      jnp.float32)
+    x17 = x17.at[:, :, :3].set(x9)
+    n17 = jnp.asarray(rng.standard_normal(x17.shape), jnp.float32)
+    n9 = n17[:, :, :3]
+    t = jnp.full((1,), 321.0)
+    scheduler = RFLOW(num_timesteps=1000)
+
+    def loss_of(params, x, cond, fv, noise):
+        def model_fn(x_t, tt, x_mask):
+            return model.apply(params, x_t, tt, **cond, height=32.0,
+                               width=40.0, x_mask=x_mask, frame_valid=fv)
+        out = scheduler.training_losses(
+            model_fn, jax.random.PRNGKey(9), x,
+            mask=combine_frame_mask(None, fv), t=t, noise=noise,
+            height=jnp.full((1,), 32.0), width=jnp.full((1,), 40.0),
+            num_frames=jnp.full((1,), 9.0))
+        return out["loss"].mean()
+
+    l9, g9 = jax.value_and_grad(loss_of)(params, x9, b9, None, n9)
+    l17, g17 = jax.value_and_grad(loss_of)(params, x17, cond17, frame_valid,
+                                           n17)
+    np.testing.assert_allclose(float(l17), float(l9), rtol=1e-5)
+    flat9 = jax.tree_util.tree_leaves_with_path(g9)
+    flat17 = dict(jax.tree_util.tree_leaves_with_path(g17))
+    for path, leaf in flat9:
+        np.testing.assert_allclose(
+            np.asarray(flat17[path]), np.asarray(leaf), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+    # end-to-end step: the dynamic num_frames_valid feeds sample_t's
+    # timestep_transform -> identical t draw as the unpadded 9-frame step
+    sched_t = RFLOW(num_timesteps=1000, use_timestep_transform=True,
+                    cog_style_trans=True)
+    tx = make_optimizer(lr=1e-3)
+    step9 = jax.jit(make_train_step(model, sched_t, tx, height=32, width=40,
+                                    num_frames=9))
+    step17 = jax.jit(make_train_step(model, sched_t, tx, height=32, width=40,
+                                     num_frames=17))
+    state = create_train_state(params, tx)
+    batch9 = dict(b9, x=x9)
+    batch17 = dict(cond17, x=x17, frame_valid=frame_valid,
+                   num_frames_valid=jnp.full((1,), 9.0))
+    _, m9 = step9(state, batch9, jax.random.PRNGKey(5))
+    state2 = create_train_state(params, tx)
+    _, m17 = step17(state2, batch17, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m17["loss"]))
+    np.testing.assert_allclose(float(m17["t_mean"]), float(m9["t_mean"]),
+                               rtol=1e-5)
+
+
+@pytest.mark.heavy
 def test_buffers_not_trained():
     cfg, model, params, batch = _setup(grad_checkpoint=False)
     scheduler = RFLOW(num_timesteps=1000)
