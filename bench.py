@@ -102,7 +102,10 @@ def train_step_metric():
 
     num_frames, height, width = 17, 224, 400
     cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
-    cfg = dataclasses.replace(cfg, grad_checkpoint=True)
+    # "dots" remat bills ~3.1x fwd FLOPs instead of full remat's 4x (see
+    # docs/PERF.md r4 MFU analysis); fall back to full remat if the saved
+    # matmul outputs don't fit the plan
+    cfg = dataclasses.replace(cfg, grad_checkpoint=True, remat_policy="dots")
     model = MagicDriveSTDiT3(cfg)
     batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
                             l_txt=60, b=1, map_size=(8, 400, 400))
@@ -137,8 +140,17 @@ def train_step_metric():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, optax.global_norm(grads)
 
-    step = jax.jit(fwd_bwd).lower(params, batch,
-                                  jax.random.PRNGKey(0)).compile()
+    remat_used = "dots"
+    try:
+        step = jax.jit(fwd_bwd).lower(params, batch,
+                                      jax.random.PRNGKey(0)).compile()
+    except Exception as e:
+        if _mem_wall_gb(e) is None:
+            raise
+        model = MagicDriveSTDiT3(dataclasses.replace(cfg, remat_policy="full"))
+        remat_used = "full"
+        step = jax.jit(fwd_bwd).lower(params, batch,
+                                      jax.random.PRNGKey(0)).compile()
     plan_mem = _plan_mem_gb(step)
     loss, gn = step(params, batch, jax.random.PRNGKey(0))  # first run
     _ = float(loss)
@@ -162,8 +174,9 @@ def train_step_metric():
                train_plan_mem_gb=plan_mem,
                train_tflops_per_s_chip=round(our_flops_chip / 1e12, 1),
                train_vs_baseline=round(our_flops_chip / ref_flops_chip, 4),
-               train_shape=f"6x{height}x{width}x{num_frames}f bs=1 remat "
-                           "fwd+bwd (optimizer sharded in real recipe)")
+               train_shape=f"6x{height}x{width}x{num_frames}f bs=1 "
+                           f"remat={remat_used} fwd+bwd (optimizer sharded "
+                           "in real recipe)")
     mem = _peak_mem_gb()
     if mem is not None:
         out["train_peak_mem_gb"] = mem
@@ -241,30 +254,39 @@ def train424_metric():
 
         res = {}
         try:
-            step = compile_step("full")
-            mode = "remat"
-        except Exception as e:
-            wall = _mem_wall_gb(e)
-            if wall is None:
+            # cheapest executed-FLOPs schedule first (docs/PERF.md r4 MFU
+            # analysis): dots keeps matmul outputs, ~3.1x fwd vs full's 4x
+            step = compile_step("dots")
+            mode = "remat=dots"
+        except Exception as e0:
+            if _mem_wall_gb(e0) is None:
                 raise
-            # the measured single-chip memory wall for the reference's 424p
-            # anchor shape under plain full remat (XLA plan vs the 16 GB
-            # chip); retry with the per-layer carry residuals offloaded to
-            # pinned host memory (the reference spreads this bucket over four
-            # 96 GB H20s / uses --cpu-offload instead)
-            res["train424_mem_wall_gb"] = wall
+            res["train424_dots_mem_wall_gb"] = _mem_wall_gb(e0)
             try:
-                step = compile_step("offload_carry")
-                mode = "remat+host-offload-carry"
-            except Exception as e2:
-                wall2 = _mem_wall_gb(e2)
-                if wall2 is None:
+                step = compile_step("full")
+                mode = "remat=full"
+            except Exception as e:
+                wall = _mem_wall_gb(e)
+                if wall is None:
                     raise
-                res["train424_offload_mem_wall_gb"] = wall2
-                res["train424_shape"] = ("6x424x800x17f bs=1 fwd+bwd (XLA "
-                                         "plan exceeds 16 GB chip even with "
-                                         "carry offload)")
-                return res
+                # the measured single-chip memory wall for the reference's
+                # 424p anchor shape under plain full remat (XLA plan vs the
+                # 16 GB chip); retry with the per-layer carry residuals
+                # offloaded to pinned host memory (the reference spreads this
+                # bucket over four 96 GB H20s / uses --cpu-offload instead)
+                res["train424_mem_wall_gb"] = wall
+                try:
+                    step = compile_step("offload_carry")
+                    mode = "remat=full+host-offload-carry"
+                except Exception as e2:
+                    wall2 = _mem_wall_gb(e2)
+                    if wall2 is None:
+                        raise
+                    res["train424_offload_mem_wall_gb"] = wall2
+                    res["train424_shape"] = ("6x424x800x17f bs=1 fwd+bwd (XLA "
+                                             "plan exceeds 16 GB chip even "
+                                             "with carry offload)")
+                    return res
         plan_mem = _plan_mem_gb(step)
         loss, _gn = step(params, batch, jax.random.PRNGKey(0))
         _ = float(loss)

@@ -379,6 +379,17 @@ def _scan(module_cls, cfg, length, name, num_args: int = 6):
                 names_which_can_be_saved=[],
                 names_which_can_be_offloaded=[_CARRY_NAME],
                 offload_src="device", offload_dst="pinned_host")
+        elif cfg.remat_policy == "dots":
+            # keep matmul outputs in HBM; the backward pass re-runs only the
+            # cheap elementwise/norm ops. Full remat re-runs the whole forward
+            # (fwd+bwd = 4x fwd FLOPs vs the ideal 3x), which is exactly the
+            # train-step MFU gap vs inference (docs/PERF.md r4 analysis); this
+            # policy restores the 3x bound when the saved dots fit memory.
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif cfg.remat_policy != "full":
+            raise ValueError(
+                f"unknown remat_policy {cfg.remat_policy!r}: expected "
+                "'full' | 'offload_carry' | 'dots'")
         target = nn.remat(target, prevent_cse=False, policy=policy)
     return nn.scan(
         target,
