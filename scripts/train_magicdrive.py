@@ -358,7 +358,9 @@ def main():
                 from jax.experimental import multihost_utils
                 src = (cur_state.ema_params if cur_state.ema_params is not None
                        else cur_state.params)
-                host_tree = multihost_utils.process_allgather(src)
+                # tiled=True: global (non-fully-addressable) shards gather
+                # into the GLOBAL value on every process, no process axis
+                host_tree = multihost_utils.process_allgather(src, tiled=True)
                 if not is_main_process():
                     return
                 render_params = jax.tree_util.tree_map(jnp.asarray, host_tree)

@@ -190,3 +190,56 @@ def test_multirank_loader_covers_global_batch(mini_nuscenes):
                                       r1["pixel_values"][0])
         np.testing.assert_array_equal(g["fps"],
                                       np.concatenate([r0["fps"], r1["fps"]]))
+
+
+def test_full_bucket_through_bucket_sampler(tmp_path):
+    """The flagship multires training path with a "full" bucket: ragged scenes
+    (9 and 19 raw frames) flow through NuScenesVariableDataset ->
+    NuScenesMultiResDataset.as_buckets ("H-W-fps-full" key) -> BucketSampler ->
+    make_full_bucket_collate, and every yielded batch has the ONE padded
+    static shape (bucket max-T from max_full_clip_len) plus frame_valid."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers_mini_nuscenes import generate
+    from magicdrive_v2_tpu.datasets import (max_full_clip_len,
+                                            prepare_dataloader)
+    from magicdrive_v2_tpu.datasets.nuscenes import (NuScenesMultiResDataset,
+                                                     NuScenesVariableDataset)
+
+    ann_file = generate(str(tmp_path / "nusc"), scene_lengths=(9, 19))
+    yaml_cfg = load_yaml_config(os.path.join(REPO, "configs/dataset/Nuscenes.yaml"))
+    pipeline = yaml_cfg["train_pipeline"]
+    for t in pipeline:
+        if t["type"] == "ImageAug3D":
+            t["final_dim"] = [24, 40]
+            t["resize_lim"] = [0.25, 0.25]
+        if t["type"] == "LoadBEVSegmentation":
+            t["xbound"] = [-50.0, 50.0, 1.0]
+            t["ybound"] = [-50.0, 50.0, 1.0]
+    var = NuScenesVariableDataset(
+        ann_file=ann_file, pipeline=pipeline, dataset_root="",
+        object_classes=yaml_cfg["object_classes"],
+        view_order=yaml_cfg["view_order"], video_length=["full"],
+        fps=[[12]], base_fps=12, start_on_keyframe=False,
+        img_collate_param=dict(template=yaml_cfg["template"],
+                               frame_emb="next2top", bbox_mode="all-xyz",
+                               bbox_processor_type=2, is_train=True))
+    ds = NuScenesMultiResDataset([((24, 40), var)])
+    assert max_full_clip_len(ds) == 17  # 19 raw frames -> 8n+1
+
+    loader, sampler = prepare_dataloader(
+        ds, bucket_config={"24-40-12-full": 1}, batch_size=1,
+        num_replicas=1, shuffle=True, seed=0, num_workers=1,
+        full_bucket_t=17)
+    batches = list(loader)
+    assert len(batches) == 2
+    valid_lens = set()
+    for b in batches:
+        assert b["num_frames"] == 17
+        assert b["pixel_values"].shape[:2] == (1, 17)
+        assert b["frame_valid"].shape == (1, 17)
+        nv = int(b["num_frames_valid"][0])
+        valid_lens.add(nv)
+        np.testing.assert_array_equal(b["frame_valid"][0],
+                                      ([1.0] * nv + [0.0] * (17 - nv)))
+    assert valid_lens == {9, 17}
