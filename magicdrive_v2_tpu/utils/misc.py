@@ -114,6 +114,21 @@ def add_box_latent(bboxes: Dict, b: int, nc: int, t: int, sample_fn) -> Dict:
     return bboxes
 
 
+def torch_randn_stream(seed: int):
+    """Stateful seed-contract stream: successive draws continue ONE generator,
+    matching the reference's `torch.manual_seed(s)` followed by multiple
+    `torch.randn` calls — z first, then box latents (reference
+    inference_magicdrive.py:434-440). Returns `draw(shape) -> np.ndarray`."""
+    try:
+        import torch
+        gen = torch.Generator()
+        gen.manual_seed(int(seed))
+        return lambda shape: torch.randn(*shape, generator=gen).numpy()
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        return lambda shape: rng.standard_normal(shape, np.float32)
+
+
 def torch_randn(shape, seed: Optional[int] = None, generator=None) -> np.ndarray:
     """Bit-compatible replacement for the reference's `torch.manual_seed(s);
     torch.randn(shape)` latent sampling (reference inference_magicdrive.py:434:

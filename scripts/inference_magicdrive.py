@@ -106,10 +106,16 @@ def main():
         from magicdrive_v2_tpu.datasets import (clip_to_model_batch, collate_clips,
                                                 pad_model_batch_to_t)
         from magicdrive_v2_tpu.registry import DATASETS, build_module
-        dataset = build_module(dict(cfg.dataset.data.val), DATASETS)
+        ds_cfg = dict(cfg.dataset.data.val)
+        # thread the clip length into the dataset (same contract as the train
+        # app, train_magicdrive.py): "full" builds whole-scene clips
+        ds_cfg.setdefault("video_length", args.num_frames
+                          or cfg.get("num_frames", 17))
+        dataset = build_module(ds_cfg, DATASETS)
         if full_length:
+            from magicdrive_v2_tpu.datasets.nuscenes import max_full_clip_len
             num_frames = int(cfg.get("full_bucket_t", 0)) or \
-                max(len(c) for c in dataset.clip_infos)
+                max_full_clip_len(dataset)
             if num_frames % 8 != 1:
                 raise ValueError(
                     f"full bucket length must be 8n+1, got {num_frames}")
@@ -136,6 +142,7 @@ def main():
         indices = (cfg.get("validation_index", [0]))[: args.num_samples or None]
 
     guidance = cfg.scheduler.get("cfg_scale", 2.0)
+    bbox_param = dict(cfg.model.get("bbox_embedder_param", {}))
     for ns, _idx in enumerate(indices):
         batch = get_batch(ns)
         batch.pop("height", None), batch.pop("width", None)
@@ -144,9 +151,23 @@ def main():
                    else int(np.asarray(batch["num_frames_valid"])[0]))
         rng = jax.random.PRNGKey(1024 + ns)
         neg = batch.pop("neg_prompts", None)
+        # reference seed contract (inference_magicdrive.py:434-440): ONE torch
+        # generator per sample, z drawn first, box latents next from the same
+        # stream — bit-comparable frames at matched seeds.
+        from magicdrive_v2_tpu.utils.misc import add_box_latent, torch_randn_stream
+        draw = torch_randn_stream(1024 + ns)
+        mc = pipe.model.cfg
+        b = 1
+        lat_t, lat_h, lat_w = pipe.vae.get_latent_size([num_frames, height, width])
+        z = jnp.asarray(draw((b, mc.in_channels * mc.nc, lat_t, lat_h, lat_w)))
+        if bbox_param.get("sample_id") and "bbox" in batch \
+                and "box_latent" not in batch["bbox"]:
+            dim = bbox_param.get("class_token_dim", 1152)
+            batch["bbox"] = add_box_latent(
+                batch["bbox"], b, mc.nc, num_frames,
+                lambda n: draw((n, dim)))
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
-                           guidance_scale=guidance, rng=rng, neg_prompts=neg,
-                           torch_seed=1024 + ns)  # reference seed contract
+                           guidance_scale=guidance, rng=rng, neg_prompts=neg, z=z)
         # vids: (b, NC, 3, T, H, W) float in [-1, 1]
         if t_valid is not None and t_valid < vids.shape[3]:
             vids = vids[:, :, :, :t_valid]  # drop bucket pad frames
