@@ -163,7 +163,9 @@ def main():
     else:
         from magicdrive_v2_tpu.datasets import clip_to_model_batch, collate_clips
         from magicdrive_v2_tpu.registry import DATASETS, build_module
-        dataset = build_module(dict(cfg.dataset.data.val), DATASETS)
+        ds_cfg = dict(cfg.dataset.data.val)
+        ds_cfg.setdefault("video_length", num_frames)
+        dataset = build_module(ds_cfg, DATASETS)
 
         def get_batch(ns):
             clip = dataset[cfg.validation_index[ns]]
@@ -183,6 +185,13 @@ def main():
     view_names = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
                   "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"]
     nc = pipe.model.cfg.nc
+    # reference seed contract (test_magicdrive.py:311-312,380-386): TWO
+    # persistent generators seeded cfg.seed — one streams z across samples,
+    # the other streams box latents
+    from magicdrive_v2_tpu.utils.misc import add_box_latent, torch_randn_stream
+    draw_z = torch_randn_stream(int(cfg.get("seed", 42)))
+    draw_bl = torch_randn_stream(int(cfg.get("seed", 42)))
+    bbox_param = dict(cfg.model.get("bbox_embedder_param", {}))
     noise_scale = (args.inpaint_noise_scale
                    if args.inpaint_noise_scale is not None
                    else cfg.scheduler.get("inpaint_noise_scale", 0.2))
@@ -215,9 +224,17 @@ def main():
                     (b,), noise_scale * pipe.scheduler.num_timesteps)
                 batch["rngs_key"] = jax.random.PRNGKey(1024 + ns)
         rng = jax.random.PRNGKey(1024 + ns)
+        b = 1
+        mc = pipe.model.cfg
+        lat_t, lat_h, lat_w = pipe.vae.get_latent_size([num_frames, height, width])
+        z = jnp.asarray(draw_z((b, mc.in_channels * nc, lat_t, lat_h, lat_w)))
+        if bbox_param.get("sample_id") and "bbox" in batch \
+                and "box_latent" not in batch["bbox"]:
+            dim = bbox_param.get("class_token_dim", 1152)
+            batch["bbox"] = add_box_latent(batch["bbox"], b, nc, num_frames,
+                                           lambda n: draw_bl((n, dim)))
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
-                           guidance_scale=guidance, rng=rng, use_map0=use_map0,
-                           torch_seed=1024 + ns)  # reference seed contract
+                           guidance_scale=guidance, rng=rng, use_map0=use_map0, z=z)
         for bi in range(vids.shape[0]):
             sample = vids[bi]  # (NC, 3, T, H, W)
             if cut_length:

@@ -102,3 +102,31 @@ def test_inference_app_full_length_trims_to_scene(tmp_path):
     n = _count_frames(os.path.join(out_dir, "sample_0_0"))
     assert n == 9, (f"expected the sample trimmed to the scene's 9 valid "
                     f"frames (bucket 17), got {n}")
+
+
+@pytest.mark.slow
+def test_wcoda_app_on_real_data(tmp_path):
+    """W-CODA benchmark app over on-disk data: the dataset path must thread
+    video_length into build_clips and attach seed-stream box latents
+    (reference test_magicdrive.py:311-386 two-generator contract)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers_mini_nuscenes import generate
+
+    ann_file = generate(str(tmp_path / "nusc"), scene_lengths=(9, 19))
+    out_dir = str(tmp_path / "out")
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(CFG_TEMPLATE.format(
+        out_dir=out_dir, ann_file=ann_file,
+        yaml_path=os.path.join(REPO, "configs/dataset/Nuscenes.yaml"))
+        .replace('num_frames = "full"', "num_frames = 9"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="", XLA_FLAGS="")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/test_magicdrive.py"),
+         str(cfg_path), "--save-mode", "all-in-one",
+         "--cfg-options", "post.resize=(48,80)", "post.padding=(0,2,0,0)"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    saved = [f for f in os.listdir(out_dir)
+             if f.startswith("scene_") or os.path.isdir(os.path.join(out_dir, f))]
+    assert saved, (os.listdir(out_dir), proc.stderr[-1500:])
