@@ -145,19 +145,22 @@ def collate_clips(clips: Sequence[Dict[str, Any]],
             "prepare_dataloader / set cfg.full_bucket_t)")
     out: Dict[str, Any] = {}
     for key in ("pixel_values", "bev_map_with_aux", "camera_param", "frame_emb",
-                "human_imgs", "human_masks"):
+                "human_imgs", "human_masks", "pixel_values_shape"):
         if key in clips[0] and clips[0][key] is not None:
             out[key] = np.stack([c[key] for c in clips])
         elif key in clips[0]:
             out[key] = None
+    # drop_ori_imgs items carry only the shape (reference ignore_ori_imgs)
+    shp0 = (clips[0]["pixel_values"].shape
+            if clips[0].get("pixel_values") is not None
+            else tuple(int(s) for s in clips[0]["pixel_values_shape"]))
     bbox_dicts = [c.get("bboxes_3d_data") for c in clips]
     if any(b is not None for b in bbox_dicts):
         max_len = max(b["bboxes"].shape[2] for b in bbox_dicts if b is not None)
         if bbox_max_len is not None:
             max_len = max(max_len, bbox_max_len)
         padded = []
-        t = clips[0]["pixel_values"].shape[0]
-        nc = clips[0]["pixel_values"].shape[1]
+        t, nc = shp0[0], shp0[1]
         point_shape = next(b["bboxes"].shape[3:] for b in bbox_dicts
                            if b is not None)
         for b in bbox_dicts:
@@ -178,7 +181,7 @@ def collate_clips(clips: Sequence[Dict[str, Any]],
     out["captions"] = [c["captions"] for c in clips]
     out["height"] = clips[0]["height"]
     out["width"] = clips[0]["width"]
-    out["num_frames"] = clips[0]["pixel_values"].shape[0]
+    out["num_frames"] = shp0[0]
     out["fps"] = np.asarray([c.get("fps", 12) for c in clips], np.float32)
     if any("num_frames_valid" in c for c in clips):
         t = out["num_frames"]
@@ -253,10 +256,24 @@ def pad_model_batch_to_t(batch: Dict[str, Any], target_t: int) -> Dict[str, Any]
     last valid frame; boxes pad with null entries (masks=0). Adds
     `frame_valid` (B, target_t) and `num_frames_valid` (B,) — the model
     excludes pad frames from temporal mixing (stdit3 frame_valid) and
-    timestep_transform uses the valid length. Both T and target_t must be
-    8n+1 (micro-frame trim) so the cog temporal halvings stay pad-aligned.
+    timestep_transform uses the valid length. Clips are first snapped DOWN to
+    the 8n+1 grid (the same micro-frame trim make_full_bucket_collate applies
+    in training) so the cog temporal halvings stay pad-aligned; target_t
+    itself must be 8n+1.
     """
     t = int(batch["num_frames"])
+    t8 = (t - 1) // 8 * 8 + 1
+    if t8 != t:  # micro-frame trim: drop the ragged tail frames
+        out = dict(batch)
+        if batch.get("x") is not None:
+            out["x"] = batch["x"][:, :, :t8]
+        for k, ax in (("maps", 1), ("cams", 1), ("rel_pos", 1)):
+            if batch.get(k) is not None:
+                out[k] = np.take(batch[k], range(t8), axis=ax)
+        if batch.get("bbox") is not None:
+            out["bbox"] = {k: v[:, :t8] for k, v in batch["bbox"].items()}
+        out["num_frames"] = t8
+        batch, t = out, t8
     if target_t == t:
         out = dict(batch)
         b = np.shape(batch["fps"])[0] if "fps" in batch else 1

@@ -17,6 +17,8 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, Optional
 
+import numpy as np
+
 from .collate import collate_clips, pad_clip_to_t
 from .sampler import BucketSampler, StatefulSampler
 
@@ -89,7 +91,9 @@ def make_full_bucket_collate(full_bucket_t: int,
         out = []
         for it in items:
             if it.pop("is_full_clip", False):
-                t = it["pixel_values"].shape[0]
+                t = (it["pixel_values"].shape[0]
+                     if it.get("pixel_values") is not None
+                     else int(it["pixel_values_shape"][0]))  # drop_ori_imgs
                 t8 = (t - 1) // 8 * 8 + 1
                 if t8 != t:
                     it = {k: (v[:t8] if k in ("pixel_values", "bev_map_with_aux",
@@ -100,6 +104,10 @@ def make_full_bucket_collate(full_bucket_t: int,
                     if it.get("bboxes_3d_data") is not None:
                         it["bboxes_3d_data"] = {k: v[:t8] for k, v in
                                                 it["bboxes_3d_data"].items()}
+                    if it.get("pixel_values_shape") is not None:
+                        shp = np.asarray(it["pixel_values_shape"]).copy()
+                        shp[0] = t8
+                        it["pixel_values_shape"] = shp
                 it = pad_clip_to_t(it, full_bucket_t)
             out.append(it)
         return collate_fn(out)

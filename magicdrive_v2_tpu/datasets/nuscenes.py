@@ -211,9 +211,10 @@ class NuScenesTDataset:
             if video_length == "full":
                 clip = [self.token_data_dict[tok] for tok in scene]
                 if self.micro_frame_size is not None:
-                    res = len(clip) % self.micro_frame_size - 1
-                    if res > 0:
-                        clip = clip[:-res]
+                    # snap DOWN to the 8n+1 grid; the old `len % m - 1` form
+                    # left exact multiples (e.g. 240 % 8 == 0) untrimmed
+                    m = self.micro_frame_size
+                    clip = clip[:(len(clip) - 1) // m * m + 1]
                 all_clips.append(clip)
             else:
                 starts = [0] if self.start_on_firstframe else range(

@@ -123,7 +123,7 @@ def torch_randn_stream(seed: int):
         import torch
         gen = torch.Generator()
         gen.manual_seed(int(seed))
-        return lambda shape: torch.randn(*shape, generator=gen).numpy()
+        return lambda shape: torch_randn(shape, generator=gen)
     except ImportError:
         rng = np.random.default_rng(seed)
         return lambda shape: rng.standard_normal(shape, np.float32)

@@ -132,7 +132,12 @@ def main():
     cut_length = post.get("cut_length", None) if hasattr(post, "get") else None
 
     from magicdrive_v2_tpu.utils.inference_utils import resolve_num_frames
-    num_frames = resolve_num_frames(cfg, args.num_frames, 'test_magicdrive')
+    # num_frames='full' + dataset: whole ragged scenes pad to one bucket
+    # (derived below once the dataset exists); otherwise resolve LOUDLY
+    full_length = (cfg.get("num_frames") == "full" and args.num_frames is None
+                   and not args.synthetic and "dataset" in cfg)
+    num_frames = (None if full_length
+                  else resolve_num_frames(cfg, args.num_frames, 'test_magicdrive'))
     height, width = cfg.get("image_size", (224, 400))
     out_dir = cfg.get("outputs", "outputs/test")
     os.makedirs(out_dir, exist_ok=True)
@@ -161,15 +166,27 @@ def main():
             return b, [f"synthetic_{ns}"]
         indices = list(range(args.num_samples or cfg.get("num_sample", 1)))
     else:
-        from magicdrive_v2_tpu.datasets import clip_to_model_batch, collate_clips
+        from magicdrive_v2_tpu.datasets import (clip_to_model_batch, collate_clips,
+                                                pad_model_batch_to_t)
         from magicdrive_v2_tpu.registry import DATASETS, build_module
         ds_cfg = dict(cfg.dataset.data.val)
-        ds_cfg.setdefault("video_length", num_frames)
+        ds_cfg.setdefault("video_length", "full" if full_length else num_frames)
         dataset = build_module(ds_cfg, DATASETS)
+        if full_length:
+            from magicdrive_v2_tpu.datasets.nuscenes import max_full_clip_len
+            num_frames = int(cfg.get("full_bucket_t", 0)) or \
+                max_full_clip_len(dataset)
+            if num_frames % 8 != 1:
+                raise ValueError(
+                    f"full bucket length must be 8n+1, got {num_frames}")
+            logger.info("full-length generation: bucket max-T = %d frames",
+                        num_frames)
 
         def get_batch(ns):
             clip = dataset[cfg.validation_index[ns]]
             batch = clip_to_model_batch(collate_clips([clip]))
+            if full_length:
+                batch = pad_model_batch_to_t(batch, num_frames)
             y = pipe.text_encoder.encode(batch.pop("captions"))
             batch["y"] = y["y"]
             return batch, [f"scene_{cfg.validation_index[ns]}"]
@@ -198,6 +215,9 @@ def main():
     for ns, _idx in enumerate(indices):
         batch, names = get_batch(ns)
         batch.pop("height", None), batch.pop("width", None)
+        batch.pop("num_frames", None)
+        t_valid = (None if "num_frames_valid" not in batch
+                   else int(np.asarray(batch["num_frames_valid"])[0]))
         if inpaint:
             b = 1
             if args.ped_video_dir:
@@ -235,6 +255,8 @@ def main():
                                            lambda n: draw_bl((n, dim)))
         vids = pipe.sample(batch, num_frames=num_frames, height=height, width=width,
                            guidance_scale=guidance, rng=rng, use_map0=use_map0, z=z)
+        if t_valid is not None and t_valid < vids.shape[3]:
+            vids = vids[:, :, :, :t_valid]  # drop bucket pad frames
         for bi in range(vids.shape[0]):
             sample = vids[bi]  # (NC, 3, T, H, W)
             if cut_length:

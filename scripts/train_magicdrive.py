@@ -409,21 +409,31 @@ def main():
                         box_dim = (bb.get("class_token_dim", 1152)
                                    if bb.get("sample_id") else None)
                         for vi in v_idx[:cfg.get("num_validation", 4)]:
-                            clip = val_ds[vi]
-                            clip.pop("is_full_clip", None)
-                            vb = clip_to_model_batch(collate_clips([clip]),
-                                                     box_latent_dim=box_dim)
-                            if vb["num_frames"] != vt:
-                                # full-length val clip: pad to the validation
-                                # bucket so it shares the bucket's one compile
-                                from magicdrive_v2_tpu.datasets import \
-                                    pad_model_batch_to_t
-                                vb = pad_model_batch_to_t(vb, vt)
-                            enc = val_te.encode(vb.pop("captions"))
-                            vb["y"] = enc["y"]
-                            batches.append({k: vb[k] for k in cond_keys +
-                                            ("frame_valid", "num_frames_valid")
-                                            if k in vb})
+                            try:
+                                clip = val_ds[vi]
+                                clip.pop("is_full_clip", None)
+                                vb = clip_to_model_batch(collate_clips([clip]),
+                                                         box_latent_dim=box_dim)
+                                if vb["num_frames"] != vt:
+                                    # full-length val clip: pad to the
+                                    # validation bucket so it shares the
+                                    # bucket's one compile
+                                    from magicdrive_v2_tpu.datasets import \
+                                        pad_model_batch_to_t
+                                    vb = pad_model_batch_to_t(vb, vt)
+                                enc = val_te.encode(vb.pop("captions"))
+                                vb["y"] = enc["y"]
+                                batches.append({k: vb[k] for k in cond_keys +
+                                                ("frame_valid",
+                                                 "num_frames_valid")
+                                                if k in vb})
+                            except Exception as e:
+                                # one bad clip (e.g. longer than the bucket)
+                                # must not abort the whole validation set
+                                logger.warning(
+                                    "validation clip %s skipped (%s)", vi, e)
+                        if not batches:
+                            raise RuntimeError("no usable validation clips")
                     except Exception as e:
                         logger.warning(
                             "validation set unavailable (%s); falling back to "

@@ -297,6 +297,55 @@ def test_full_bucket_clip_padding():
         pad_clip_to_t(dict(c17), 9)
 
 
+def test_pad_model_batch_snaps_ragged_clips_to_grid():
+    """pad_model_batch_to_t first snaps a non-8n+1 clip DOWN to the grid (the
+    app path has no make_full_bucket_collate in front of it — a 19-frame val
+    scene must trim to 17, not raise; advisor r4 finding)."""
+    from magicdrive_v2_tpu.datasets import pad_model_batch_to_t
+
+    def mk_mb(t):
+        clip = collate_fn_single_clip(
+            _full_frames(t=t), template="{description}", frame_emb="next2top",
+            bbox_mode="all-xyz", bbox_processor_type=2, is_train=False)
+        clip["fps"] = 12
+        return clip_to_model_batch(collate_clips([clip]))
+
+    mb19 = pad_model_batch_to_t(mk_mb(19), 17)
+    assert mb19["num_frames"] == 17 and mb19["x"].shape[2] == 17
+    assert int(mb19["num_frames_valid"][0]) == 17
+    assert mb19["frame_valid"].all()
+    # trimmed frames match the first 17 of the raw clip exactly
+    np.testing.assert_array_equal(mb19["x"], mk_mb(19)["x"][:, :, :17])
+    np.testing.assert_array_equal(mb19["maps"], mk_mb(19)["maps"][:, :17])
+
+    # trim composes with padding: 12 -> snap 9 -> pad 17
+    mb12 = pad_model_batch_to_t(mk_mb(12), 17)
+    assert int(mb12["num_frames_valid"][0]) == 9
+    np.testing.assert_array_equal(mb12["frame_valid"][0], [1] * 9 + [0] * 8)
+
+    # still loud when the snapped clip exceeds the bucket
+    with pytest.raises(ValueError, match="exceeds"):
+        pad_model_batch_to_t(mk_mb(25), 17)
+
+
+def test_full_bucket_collate_handles_shape_only_items():
+    """drop_ori_imgs items carry pixel_values_shape instead of pixel_values;
+    the full-bucket collate must trim + pad them too (advisor r4 finding)."""
+    from magicdrive_v2_tpu.datasets import make_full_bucket_collate
+
+    clip = collate_fn_single_clip(
+        _full_frames(t=13), template="{description}", frame_emb="next2top",
+        bbox_mode="all-xyz", bbox_processor_type=2, is_train=False)
+    clip["fps"] = 12
+    clip["pixel_values_shape"] = np.array(clip.pop("pixel_values").shape)
+    clip["is_full_clip"] = True
+
+    out = make_full_bucket_collate(17)([clip])
+    np.testing.assert_array_equal(out["num_frames_valid"], [9])  # 13 -> 9
+    assert int(out["pixel_values_shape"][0][0]) == 17
+    assert out["bev_map_with_aux"].shape[1] == 17
+
+
 # ---------------- samplers ----------------
 
 def test_bucket_sampler_static_shape_batches_and_resume():

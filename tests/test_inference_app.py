@@ -29,8 +29,8 @@ save_fps = 12
 bbox_mode = "all-xyz"
 mv_order_map = MV_ORDER_MAP
 vae_out_channels = 16
-validation_index = [0]
-num_sample = 1
+validation_index = [0, 1]
+num_sample = 2
 
 model = xl2_model(bbox_mode=bbox_mode, control_skip_temporal=False)
 model.update(depth=2, control_depth=1, hidden_size=64, num_heads=4)
@@ -102,6 +102,11 @@ def test_inference_app_full_length_trims_to_scene(tmp_path):
     n = _count_frames(os.path.join(out_dir, "sample_0_0"))
     assert n == 9, (f"expected the sample trimmed to the scene's 9 valid "
                     f"frames (bucket 17), got {n}")
+    # scene 1 is 19 raw frames: NOT on the 8n+1 grid (this config's val split
+    # has no micro_frame_size, so the dataset hands the app the ragged clip);
+    # pad_model_batch_to_t must snap it down to 17 instead of raising
+    n1 = _count_frames(os.path.join(out_dir, "sample_1_0"))
+    assert n1 == 17, f"expected the 19-frame scene snapped to 17, got {n1}"
 
 
 @pytest.mark.slow
@@ -123,7 +128,7 @@ def test_wcoda_app_on_real_data(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="", XLA_FLAGS="")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/test_magicdrive.py"),
-         str(cfg_path), "--save-mode", "all-in-one",
+         str(cfg_path), "--save-mode", "all-in-one", "--num-samples", "1",
          "--cfg-options", "post.resize=(48,80)", "post.padding=(0,2,0,0)"],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-3000:]

@@ -243,3 +243,21 @@ def test_full_bucket_through_bucket_sampler(tmp_path):
         np.testing.assert_array_equal(b["frame_valid"][0],
                                       ([1.0] * nv + [0.0] * (17 - nv)))
     assert valid_lens == {9, 17}
+
+
+def test_build_clips_full_trims_exact_multiples():
+    """'full' clips snap DOWN to the 8n+1 grid; the old `len % m - 1` trim
+    left exact multiples (24 % 8 == 0) at 8n length (advisor r4 finding)."""
+    from magicdrive_v2_tpu.datasets.nuscenes import NuScenesTDataset
+
+    ds = NuScenesTDataset.__new__(NuScenesTDataset)
+    ds.video_length = "full"
+    ds.micro_frame_size = 8
+    ds.start_on_firstframe = False
+    ds.start_on_keyframe = False
+    ds.balance_keywords = None
+    lengths = {24: 17, 19: 17, 17: 17, 9: 9, 8: 1, 240: 233}
+    for raw, want in lengths.items():
+        infos = [{"token": f"t{i}"} for i in range(raw)]
+        clips = ds.build_clips(infos, [[f"t{i}" for i in range(raw)]])
+        assert len(clips[0]) == want, (raw, len(clips[0]))
