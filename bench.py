@@ -361,6 +361,62 @@ def fwd848_metric():
     return res
 
 
+def fwdfull224_metric():
+    """FULL-LENGTH CFG denoise step at 6x224x400, T_img=233 (the ~20 s /
+    232-frame whole-scene headline, snapped to the 8n+1 grid -> T'=59).
+    Reference anchor: 21.93 GB peak on H20 at sp=1 (doc/FAQ.md:36-43,
+    BASELINE.md row 10) — fitting the CFG step on ONE 16 GB v5e chip
+    demonstrates the capability without sequence parallelism. Opt-in via
+    MDV2_BENCH_FULL224=1 (costs an extra relay compile)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fast_init, _flagship_config
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+
+    num_frames, height, width = 233, 224, 400
+    cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    model = MagicDriveSTDiT3(cfg)
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height,
+                            width=width, l_txt=60, b=1, map_size=(8, 400, 400))
+    h, w = batch.pop("height"), batch.pop("width")
+    params = _fast_init(model, {**batch, "height": h, "width": w})
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+    params = jax.device_put(params)
+
+    double = lambda a: jnp.concatenate([a, a], axis=0)
+    b2 = {k: jax.tree_util.tree_map(double, v) for k, v in batch.items()
+          if k not in ("x", "timestep")}
+    b2 = jax.device_put(b2)
+    z2, t2 = double(batch["x"]), double(batch["timestep"])
+    del batch
+    gc.collect()
+
+    @jax.jit
+    def fwd(params, z, t, b):
+        return model.apply(params, z, t, b["y"], b["maps"], b["bbox"],
+                           b["cams"], b["rel_pos"], b["fps"], height=h, width=w)
+
+    fwd_c = fwd.lower(params, z2, t2, b2).compile()
+    out = fwd_c(params, z2, t2, b2)
+    _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (first run)
+    t0 = time.perf_counter()
+    out = fwd_c(params, z2, t2, b2)
+    _ = np.asarray(out[0, 0, 0, 0, :2])
+    dt = time.perf_counter() - t0
+    res = {"fwdfull224_s": round(dt, 2),
+           "fwdfull224_plan_mem_gb": _plan_mem_gb(fwd_c),
+           "fwdfull224_shape": "6x224x400x233f (T'=59) CFG forward, sp=1"}
+    mem = _peak_mem_gb()
+    if mem is not None:
+        res["fwdfull224_peak_mem_gb"] = mem
+    return res
+
+
 def _peak_mem_gb():
     """Device peak-memory in GB, when the runtime exposes memory_stats
     (the reference's headline numbers are peak memory, BASELINE.md rows 1-20)."""
@@ -628,6 +684,15 @@ def main():
             extras.update(train424_metric())
         except Exception as e:  # the measured memory wall, if it still OOMs
             extras["train424_error"] = f"{type(e).__name__}: {e}"[:300]
+    if on_tpu and os.environ.get("MDV2_BENCH_FULL224", "0") == "1":
+        # opt-in: full-length single-chip datapoint (extra relay compile);
+        # run manually when the relay is healthy, keep the driver bench lean
+        try:
+            import gc
+            gc.collect()
+            extras.update(fwdfull224_metric())
+        except Exception as e:
+            extras["fwdfull224_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps({
         "metric": f"6-view frames/sec/chip, {height}x{width}x{num_frames}f, "
                   f"{NUM_STEPS}-step CFG diffusion",

@@ -135,3 +135,31 @@ def test_wcoda_app_on_real_data(tmp_path):
     saved = [f for f in os.listdir(out_dir)
              if f.startswith("scene_") or os.path.isdir(os.path.join(out_dir, f))]
     assert saved, (os.listdir(out_dir), proc.stderr[-1500:])
+
+
+@pytest.mark.slow
+def test_wcoda_app_full_length(tmp_path):
+    """W-CODA app with num_frames='full': whole ragged scenes pad to the
+    derived bucket and the saved sample trims back to the scene's true
+    length (previously this path silently generated fixed bucket-length
+    windows; advisor r4 finding)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers_mini_nuscenes import generate
+
+    ann_file = generate(str(tmp_path / "nusc"), scene_lengths=(9, 19))
+    out_dir = str(tmp_path / "out")
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(CFG_TEMPLATE.format(
+        out_dir=out_dir, ann_file=ann_file,
+        yaml_path=os.path.join(REPO, "configs/dataset/Nuscenes.yaml")))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="", XLA_FLAGS="")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/test_magicdrive.py"),
+         str(cfg_path), "--save-mode", "all-in-one", "--num-samples", "1",
+         "--cfg-options", "post.resize=(48,80)", "post.padding=(0,2,0,0)"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "bucket max-T = 17" in proc.stderr + proc.stdout
+    n = _count_frames(os.path.join(out_dir, "scene_0"))
+    assert n == 9, f"expected 9 true frames (bucket 17), got {n}"
