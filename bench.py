@@ -70,57 +70,43 @@ def estimate_step_flops(cfg, B, T, S, L_cond, T_img) -> float:
     return 2.0 * total_macs  # MAC -> FLOP
 
 
-def train_step_metric():
-    """Single-chip training-iteration throughput, FLOPs-normalized against the
-    reference's 424x800x17f anchor.
-
-    Reference anchor (BASELINE.md rows 21-28): 32-34 s/it at bs=6 per dp-group
-    on 32 GPUs with sp=4 (48 samples/iter). That bucket does NOT fit one 16 GB
-    v5e chip unsharded (the reference spreads it over four 96 GB H20s; the XLA
-    memory plan wants ~28 GB), so the single-chip bench runs the 6x224x400x17f
-    bucket and compares model-FLOPs/s/chip: ours = train_flops(224p)/t_it,
-    reference = 48 * train_flops(424p sample) / (33 s * 32 chips), train FLOPs
-    = 3x forward (both sides train with grad checkpointing, so the remat
-    multiplier cancels). Diffusion fwd+bwd+grad-norm only: the flagship has
-    2.04B params, so optimizer/EMA state (11.5 GB even in bf16) cannot live on
-    one 16 GB chip — the reference equally shards it via ZeRO-2 across 32 GPUs
-    (and offloads the Adam update to CPU with HybridAdam); in our recipe FSDP
-    shards it across dp (__graft_entry__.dryrun_multichip runs the FULL
-    loss+AdamW+EMA step sharded). The excluded update is one elementwise pass
-    over the states (~30 ms analytic, <2% of the step). The reference's s/it
-    also carries VAE/text encode + data loading, flattering their number.
-    """
+def build_train_step(num_frames=17, height=224, width=400, tiny=False):
+    """Build + compile the single-chip fwd+bwd train step used by
+    train_step_metric (also imported by tools/perf_lab.py trainprofile).
+    Returns (step, params, batch, remat_used, plan_mem_gb)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
+    import optax
 
     from __graft_entry__ import _fast_init, _flagship_config
     from magicdrive_v2_tpu.models.magicdrive.stdit3 import MagicDriveSTDiT3
     from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
     from magicdrive_v2_tpu.schedulers.rf import RFLOW
 
-    num_frames, height, width = 17, 224, 400
-    cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    cfg = _flagship_config(tiny=tiny, dtype=jnp.float32 if tiny else jnp.bfloat16)
     # "dots" remat bills ~3.1x fwd FLOPs instead of full remat's 4x (see
     # docs/PERF.md r4 MFU analysis); fall back to full remat if the saved
     # matmul outputs don't fit the plan
     cfg = dataclasses.replace(cfg, grad_checkpoint=True, remat_policy="dots")
     model = MagicDriveSTDiT3(cfg)
     batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
-                            l_txt=60, b=1, map_size=(8, 400, 400))
+                            l_txt=60, b=1,
+                            map_size=(8, 80, 80) if tiny else (8, 400, 400))
     batch.pop("height"), batch.pop("width")
     batch.pop("timestep")
     params = _fast_init(model, {**batch, "timestep": jnp.full((1,), 500.0),
                                 "height": float(height), "width": float(width)})
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+    if not tiny:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params)
     batch["mask"] = jnp.ones((1, batch["x"].shape[2]), jnp.float32)
     batch = jax.device_put(batch)
 
     scheduler = RFLOW(num_timesteps=1000, use_timestep_transform=True,
                       cog_style_trans=True)
-    import optax
 
     def fwd_bwd(params, batch, rng):
         cond = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
@@ -151,7 +137,38 @@ def train_step_metric():
         remat_used = "full"
         step = jax.jit(fwd_bwd).lower(params, batch,
                                       jax.random.PRNGKey(0)).compile()
-    plan_mem = _plan_mem_gb(step)
+    return step, params, batch, remat_used, _plan_mem_gb(step)
+
+
+def train_step_metric():
+    """Single-chip training-iteration throughput, FLOPs-normalized against the
+    reference's 424x800x17f anchor.
+
+    Reference anchor (BASELINE.md rows 21-28): 32-34 s/it at bs=6 per dp-group
+    on 32 GPUs with sp=4 (48 samples/iter). That bucket does NOT fit one 16 GB
+    v5e chip unsharded (the reference spreads it over four 96 GB H20s; the XLA
+    memory plan wants ~28 GB), so the single-chip bench runs the 6x224x400x17f
+    bucket and compares model-FLOPs/s/chip: ours = train_flops(224p)/t_it,
+    reference = 48 * train_flops(424p sample) / (33 s * 32 chips), train FLOPs
+    = 3x forward (both sides train with grad checkpointing, so the remat
+    multiplier cancels). Diffusion fwd+bwd+grad-norm only: the flagship has
+    2.04B params, so optimizer/EMA state (11.5 GB even in bf16) cannot live on
+    one 16 GB chip — the reference equally shards it via ZeRO-2 across 32 GPUs
+    (and offloads the Adam update to CPU with HybridAdam); in our recipe FSDP
+    shards it across dp (__graft_entry__.dryrun_multichip runs the FULL
+    loss+AdamW+EMA step sharded). The excluded update is one elementwise pass
+    over the states (~30 ms analytic, <2% of the step). The reference's s/it
+    also carries VAE/text encode + data loading, flattering their number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+
+    num_frames, height, width = 17, 224, 400
+    cfg = _flagship_config(tiny=False, dtype=jnp.bfloat16)
+    step, params, batch, remat_used, plan_mem = build_train_step(
+        num_frames, height, width)
     loss, gn = step(params, batch, jax.random.PRNGKey(0))  # first run
     _ = float(loss)
     times = []

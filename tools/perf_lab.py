@@ -158,6 +158,30 @@ def cmd_profile(shape=None, cfg_double=True):
     cmd_report(TRACE_DIR)
 
 
+def cmd_train_profile(shape=None):
+    """Device trace of ONE fwd+bwd train step (VERDICT r3 weak #4: find where
+    the 27%-of-peak goes — remat recompute share? chunked-attn backward?).
+    Reuses bench.build_train_step (dots remat, full-remat fallback)."""
+    import jax
+
+    import bench
+
+    _enable_compile_cache()
+    tiny = os.environ.get("MDV2_PERF_TINY") == "1"  # CPU smoke of this command
+    num_frames, height, width = shape or ((5, 24, 40) if tiny else (17, 224, 400))
+    step, params, batch, remat_used, plan_mem = bench.build_train_step(
+        num_frames, height, width, tiny=tiny)
+    loss, _gn = step(params, batch, jax.random.PRNGKey(0))  # outside trace
+    _ = float(loss)
+    print(f"train step compiled: remat={remat_used}, plan_mem={plan_mem} GB")
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR):
+        loss, _gn = step(params, batch, jax.random.PRNGKey(1))
+        _ = float(loss)
+    print("trace written to", TRACE_DIR)
+    cmd_report_ops(TRACE_DIR)
+
+
 _NORM = [
     (re.compile(r"^fusion(\.\d+)?$"), "fusion"),
     (re.compile(r"^loop_"), "loop_fusion"),
@@ -249,6 +273,10 @@ if __name__ == "__main__":
         cmd_profile()
     elif cmd == "profile848":
         cmd_profile(shape=(17, 848, 1600), cfg_double=False)
+    elif cmd == "trainprofile":
+        cmd_train_profile()
+    elif cmd == "trainprofile424":
+        cmd_train_profile(shape=(17, 424, 800))
     elif cmd == "report":
         cmd_report(sys.argv[2] if len(sys.argv) > 2 else TRACE_DIR)
     elif cmd == "ops":
