@@ -100,11 +100,20 @@ _SP_VAE_JITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def _sp_vae_jit(vae_fn, mesh, in_sharding, ndim: int):
     obj = getattr(vae_fn, "__self__", None)
-    kw = {} if in_sharding is None else {"in_shardings": (None, in_sharding)}
+    kw = ({} if in_sharding is None
+          else {"in_shardings": (None, in_sharding, None)})
     out_sh = NamedSharding(mesh, P())
+
+    def _call(fn, x, r):
+        # rng is a replicated runtime arg (fresh posterior noise per batch —
+        # a closure-captured key would bake ONE draw into the trace); r=None
+        # keeps the deterministic path (decode has no rng at all)
+        return fn(x) if r is None else fn(x, rng=r)
+
     if obj is None or not hasattr(obj, "params"):
-        f = jax.jit(lambda _p, x: vae_fn(x), out_shardings=out_sh, **kw)
-        return lambda x: f(None, x)
+        f = jax.jit(lambda _p, x, r: _call(vae_fn, x, r),
+                    out_shardings=out_sh, **kw)
+        return lambda x, r=None: f(None, x, r)
     func = vae_fn.__func__
     per_obj = _SP_VAE_JITS.setdefault(obj, {})
     # The trace bakes the wrapper's ARCHITECTURE (obj.module/module_streaming
@@ -121,10 +130,11 @@ def _sp_vae_jit(vae_fn, mesh, in_sharding, ndim: int):
     if entry is None:
         obj_ref = weakref.ref(obj)  # no strong ref from the cached value back
         # to the weak key, or the entry would never be evicted
-        f = jax.jit(lambda p, x: func(obj_ref(), x, params=p),
+        f = jax.jit(lambda p, x, r: (func(obj_ref(), x, params=p) if r is None
+                                     else func(obj_ref(), x, params=p, rng=r)),
                     out_shardings=out_sh, **kw)
         entry = per_obj[key] = (f, arch)
-    return lambda x: entry[0](obj.params, x)
+    return lambda x, r=None: entry[0](obj.params, x, r)
 
 
 def _pad_rows(x: jax.Array, pad: int) -> jax.Array:
@@ -137,15 +147,20 @@ def _pad_rows(x: jax.Array, pad: int) -> jax.Array:
     return jax.numpy.concatenate([x, filler], axis=0)
 
 
-def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
+def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None,
+           rng: Optional[jax.Array] = None) -> jax.Array:
     """Batch-scatter a VAE encode/decode over ALL mesh devices and gather the result
     (reference sp_vae, magicdrivedit/utils/train_utils.py:640-683: splits the (B*NC)
     batch across the SP group and all_gathers latents). Under GSPMD this is an
     in-sharding on the batch dim over the flattened (dp, sp) axes + replicated out.
+
+    `rng`: per-batch posterior-sampling key for encode (must be the SAME on
+    every process — it is a replicated SPMD arg). None = the callee's
+    deterministic default (decode takes no rng).
     """
     mesh = mesh or get_current_mesh()
     if mesh is None or mesh.size == 1:
-        return vae_fn(x)
+        return vae_fn(x) if rng is None else vae_fn(x, rng=rng)
     nproc = jax.process_count()
     if nproc > 1:
         # multi-host: x is this process's LOCAL rows; pad them to the local
@@ -161,7 +176,7 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
             NamedSharding(mesh, spec), np.asarray(x))
         fn = _sp_vae_jit(vae_fn, mesh, None, x.ndim)
         with use_mesh(mesh):
-            out = fn(xg)
+            out = fn(xg, rng)
         start = jax.process_index() * (b + pad)
         return out[start:start + b]
     n = mesh.size
@@ -171,5 +186,5 @@ def sp_vae(x: jax.Array, vae_fn, mesh: Optional[Mesh] = None) -> jax.Array:
     spec = P((DP_AXIS, SP_AXIS), *([None] * (x.ndim - 1)))
     fn = _sp_vae_jit(vae_fn, mesh, NamedSharding(mesh, spec), x.ndim)
     with use_mesh(mesh):
-        out = fn(x)
+        out = fn(x, rng)
     return out[:b] if pad else out

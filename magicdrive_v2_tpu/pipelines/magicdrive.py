@@ -115,8 +115,13 @@ class MagicDrivePipeline:
         te_kind = te_cfg.pop("type", "t5-dummy")
         try:
             text_encoder = MODELS.get(te_kind)(**te_cfg)
-        except Exception as e:  # missing T5 weights -> deterministic dummy
-            logging.warning("text encoder %r unavailable (%s); using t5-dummy", te_kind, e)
+        except (OSError, ImportError, ValueError) as e:
+            # ONLY environment gaps (missing T5 snapshot / transformers) may
+            # fall back to the deterministic dummy — a typo'd type or bad
+            # kwargs (KeyError/TypeError) must fail loudly, not silently
+            # render prompt-ignoring videos (r4 self-review)
+            logging.warning("text encoder %r unavailable (%s); using t5-dummy",
+                            te_kind, e)
             text_encoder = MODELS.get("t5-dummy")(
                 model_max_length=te_cfg.get("model_max_length", 300))
 
@@ -181,12 +186,21 @@ class MagicDrivePipeline:
             n_tok = int(np.asarray(ret["mask"]).sum())
             return np.asarray(y)[0, :n_tok]
 
-        params = jax.tree_util.tree_map(lambda a: np.array(a), self.params)
-        tokens = params["params"]["bbox_embedder"]["class_tokens"]
+        # functionally replace ONLY the two touched leaves: round-tripping the
+        # whole ~2B-param tree through numpy would drop committed shardings
+        # (and crash on non-addressable multi-host arrays)
+        old = self.params["params"]["bbox_embedder"]["class_tokens"]
+        tokens = np.array(old)
         for i, name in enumerate(classes):
             tokens[i] = embed(name).mean(axis=0)
-        params["params"]["base_token"] = embed("")[0]
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        inner = dict(self.params["params"])
+        be = dict(inner["bbox_embedder"])
+        be["class_tokens"] = jnp.asarray(tokens, old.dtype)
+        inner["bbox_embedder"] = be
+        base_old = inner.get("base_token")
+        inner["base_token"] = jnp.asarray(
+            embed("")[0], None if base_old is None else base_old.dtype)
+        self.params = {**self.params, "params": inner}
 
     # ------------------------------------------------------------------
     def _build_predict_fn(self, model_args: Dict, guidance_scale, slice_cfg: bool,
@@ -391,18 +405,27 @@ class MagicDrivePipeline:
         if guidance_scale is None:
             guidance_scale = sched.cfg_scale
         model_args = {k: batch[k] for k in ("y", "maps", "bbox", "cams", "rel_pos",
-                                            "fps") if k in batch}
+                                            "fps", "frame_valid",
+                                            "num_frames_valid") if k in batch}
         null_y = self.null_y(model_args["y"].shape[0])
         hf, wf, nf = float(height), float(width), float(num_frames)
 
         def build():
             def core(params, ref_z, mask, rng, model_args, null_y, scale):
+                model_args = dict(model_args)
+                # padded full-length repaint: timestep_transform sees each
+                # sample's TRUE length; frame_valid rides into the model
+                nf_valid = model_args.pop("num_frames_valid", None)
                 predict = self._build_predict_fn(
                     {**model_args, "height": hf, "width": wf}, scale, True,
                     z_shape=tuple(ref_z.shape), null_y=null_y, params=params,
                     use_map0=use_map0)
-                return sched.sample_repaint(predict, ref_z, mask, height=hf,
-                                            width=wf, num_frames=nf, rng=rng)
+                bsz = ref_z.shape[0]
+                hw = dict(height=jnp.full((bsz,), hf),
+                          width=jnp.full((bsz,), wf),
+                          num_frames=jnp.full((bsz,), nf) if nf_valid is None
+                          else jnp.asarray(nf_valid, jnp.float32))
+                return sched.sample_repaint(predict, ref_z, mask, rng=rng, **hw)
 
             return core
 

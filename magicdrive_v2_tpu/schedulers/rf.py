@@ -203,7 +203,6 @@ class RFLOW_SLICE(RFLOW):
 
 
 @SCHEDULERS.register_module("rflow-brushnet")
-@SCHEDULERS.register_module("rflow-brushnet-slice")
 @dataclasses.dataclass
 class RFLOW_BRUSHNET(RFLOW):
     """BrushNet training/sampling (reference RFlowSchedulerBrushNet,
@@ -214,7 +213,6 @@ class RFLOW_BRUSHNET(RFLOW):
 
 
 @SCHEDULERS.register_module("rflow-sdebrushnet")
-@SCHEDULERS.register_module("rflow-sdebrushnet-slice")
 @dataclasses.dataclass
 class RFLOW_SDEBRUSHNET(RFLOW_BRUSHNET):
     """SDE-BrushNet: independent inpaint timestep (reference
@@ -249,6 +247,23 @@ class RFLOW_SDEBRUSHNET(RFLOW_BRUSHNET):
             (velocity_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2,
             mask=mask)
         return {"loss": loss, "t": t, "t_inpaint": t_inpaint}
+
+
+@SCHEDULERS.register_module("rflow-brushnet-slice")
+@dataclasses.dataclass
+class RFLOW_BRUSHNET_SLICE(RFLOW_BRUSHNET):
+    """Two-pass-CFG BrushNet (reference RFLOW_BRUSHNET_SLICE,
+    rf/__init__.py:525-668): slice_cfg=True halves the 30-step scan's peak
+    activations — the whole point at 848x1600 + sp (previously this alias
+    silently ran batched CFG; advisor r4 finding)."""
+    slice_cfg: bool = True
+
+
+@SCHEDULERS.register_module("rflow-sdebrushnet-slice")
+@dataclasses.dataclass
+class RFLOW_SDEBRUSHNET_SLICE(RFLOW_SDEBRUSHNET):
+    """Two-pass-CFG SDE-BrushNet (same slice contract as RFLOW_SLICE)."""
+    slice_cfg: bool = True
 
 
 @SCHEDULERS.register_module("rflow-slice-repaint")

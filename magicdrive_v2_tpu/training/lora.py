@@ -59,7 +59,9 @@ def init_lora(params: Any, rank: int, rng: jax.Array,
             continue
         lead = leaf.shape[:-2]  # scan axes
         d_in, d_out = leaf.shape[-2], leaf.shape[-1]
-        bound = math.sqrt(6.0 / d_in)  # kaiming_uniform(a=sqrt(5)) over fan_in
+        # torch kaiming_uniform_(a=sqrt(5)): gain=sqrt(2/(1+5)), bound =
+        # gain*sqrt(3/fan_in) = 1/sqrt(fan_in) (NOT the a=0 sqrt(6/fan_in))
+        bound = 1.0 / math.sqrt(d_in)
         a = jax.random.uniform(key, lead + (rank, d_in), jnp.float32, -bound, bound)
         b = jnp.zeros(lead + (d_out, rank), jnp.float32)
         node = out

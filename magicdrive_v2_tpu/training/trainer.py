@@ -41,7 +41,15 @@ def combine_frame_mask(mask, frame_valid):
     if frame_valid is None:
         return mask
     lat_valid = frame_valid[:, ::4]
-    return lat_valid if mask is None else mask * lat_valid
+    if mask is None:
+        return lat_valid
+    combined = mask * lat_valid
+    # a mask drawn on the bucket length can land entirely on pad frames; an
+    # all-zero row makes mean_flat 0/0 = NaN — denoise all valid frames
+    # instead (the app's valid-anchored get_masks avoids this by
+    # construction; this guards other callers)
+    has = jnp.sum(combined, axis=1, keepdims=True) > 0
+    return jnp.where(has, combined, lat_valid)
 
 
 def create_train_state(params, tx: optax.GradientTransformation,
@@ -99,9 +107,14 @@ def make_train_step(model: MagicDriveSTDiT3, scheduler: RFLOW,
         new_ema = state.ema_params
         if new_ema is not None:
             new_ema = update_ema(new_ema, new_params, ema_decay, ema_mask)
+        # grad_norm on the TRAINABLE partition only (what clip_by_global_norm
+        # sees); frozen-param grads would dominate and mislead divergence
+        # monitoring when freeze_patterns is set (r4 self-review)
+        gnorm_grads = grads if ema_mask is None else jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, ema_mask)
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": optax.global_norm(gnorm_grads),
             "t_mean": t_used.mean(),
         }
         return state.replace(step=state.step + 1, params=new_params,

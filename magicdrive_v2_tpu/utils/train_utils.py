@@ -152,8 +152,19 @@ class MaskGenerator:
             mask[-1] = True
         return mask
 
-    def get_masks(self, batch_size: int, num_frames: int) -> np.ndarray:
-        return np.stack([self.get_mask(num_frames) for _ in range(batch_size)])
+    def get_masks(self, batch_size: int, num_frames: int,
+                  valid: Optional[np.ndarray] = None) -> np.ndarray:
+        """Per-sample masks. `valid` (b,) anchors each sample's mask to its
+        TRUE latent length inside a padded full-length bucket: head/tail
+        semantics follow the real clip, and at least one VALID frame always
+        stays True (an all-pad denoise set would make the loss 0/0 = NaN)."""
+        if valid is None:
+            return np.stack([self.get_mask(num_frames) for _ in range(batch_size)])
+        masks = np.zeros((batch_size, num_frames), bool)
+        for i in range(batch_size):
+            t = min(int(valid[i]), num_frames)
+            masks[i, :t] = self.get_mask(t)
+        return masks
 
 
 def sample_condition_dropout(rng: pyrandom.Random, b: int, t: int,

@@ -193,7 +193,8 @@ def main():
         te_kind = te_cfg.pop("type", "t5-dummy")
         try:
             text_encoder = MODELS.get(te_kind)(**te_cfg)
-        except Exception as e:
+        except (OSError, ImportError, ValueError) as e:
+            # environment gaps only; config typos raise (r4 self-review)
             logger.warning("text encoder %r unavailable (%s); t5-dummy", te_kind, e)
             text_encoder = MODELS.get("t5-dummy")(
                 model_max_length=te_cfg.get("model_max_length", 300))
@@ -207,11 +208,18 @@ def main():
 
             def __iter__(self):
                 rng_np = np.random.default_rng(cfg.get("seed", 42))
+                # fresh VAE posterior noise per batch (a fixed key would reuse
+                # ONE eps pattern for all training data); fold_in keeps every
+                # process on the SAME key — it's a replicated SPMD arg
+                vae_key = jax.random.PRNGKey(cfg.get("seed", 42) + 7)
+                n_enc = 0
                 for raw in raw_loader:
                     mb = clip_to_model_batch(raw, box_latent_dim=box_latent_dim,
                                              rng=rng_np)
                     x_px = jnp.asarray(mb.pop("x"), dtype)  # (B*NC, 3, T, H, W)
-                    lat = sp_vae(x_px, vae.encode, mesh)
+                    n_enc += 1
+                    lat = sp_vae(x_px, vae.encode, mesh,
+                                 rng=jax.random.fold_in(vae_key, n_enc))
                     bb = raw["pixel_values"].shape[0]
                     nc_ = lat.shape[0] // bb
                     C = lat.shape[1]
@@ -481,8 +489,13 @@ def main():
                 step_fn = get_step(h_b, w_b, t_img_b, simulate_sp=simu_sp)
                 b = batch["x"].shape[0]
                 lat_t = batch["x"].shape[2]
+                # padded full-length buckets: anchor each sample's mask to its
+                # TRUE latent length (head/tail semantics + never all-pad)
+                nfv = batch.get("num_frames_valid")
+                lat_valid = (None if nfv is None
+                             else (np.asarray(nfv).astype(int) - 1) // 4 + 1)
                 batch["mask"] = jnp.asarray(
-                    mask_gen.get_masks(b, lat_t), jnp.float32)
+                    mask_gen.get_masks(b, lat_t, valid=lat_valid), jnp.float32)
                 if drop_cond_ratio > 0:
                     dc, df = sample_condition_dropout(
                         drop_rng, b, t_img_b, drop_cond_ratio, drop_cond_ratio_t)

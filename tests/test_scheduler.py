@@ -122,3 +122,16 @@ def test_sample_t_range(rng):
         sched = RFLOW(num_timesteps=1000, sample_method=method)
         t = sched.sample_t(rng, 512)
         assert float(t.min()) >= 0.0 and float(t.max()) <= 1000.0
+
+
+def test_slice_aliases_actually_slice():
+    """'-slice' registry aliases must set slice_cfg=True — previously the
+    brushnet aliases mapped to the batched-CFG classes, so 848p + sp configs
+    requesting sliced CFG silently doubled peak activations (advisor r4)."""
+    from magicdrive_v2_tpu.schedulers.rf import build_scheduler
+
+    for name in ("rflow-slice", "rflow-brushnet-slice",
+                  "rflow-sdebrushnet-slice", "rflow-slice-repaint"):
+        assert build_scheduler({"type": name}).slice_cfg, name
+    for name in ("rflow", "rflow-brushnet", "rflow-sdebrushnet"):
+        assert not build_scheduler({"type": name}).slice_cfg, name

@@ -395,3 +395,36 @@ def test_sp_vae_real_decode_matches_direct():
     assert via_mesh.shape == direct.shape
     np.testing.assert_allclose(np.asarray(via_mesh), np.asarray(direct),
                                atol=2e-5)
+
+
+def test_masks_anchor_to_valid_length():
+    """Padded full-length buckets: get_masks(valid=...) anchors head/tail
+    semantics to each sample's TRUE latent length and never leaves the valid
+    region all-False (an all-pad denoise set = 0/0 NaN loss; r4 self-review)."""
+    import numpy as np
+    from magicdrive_v2_tpu.utils.train_utils import MaskGenerator
+
+    gen = MaskGenerator({"quarter_tail": 0.5, "random": 0.5},
+                        rng=__import__("random").Random(0))
+    valid = np.array([5, 9, 2, 9])
+    for _ in range(50):
+        m = gen.get_masks(4, 9, valid=valid)
+        assert m.shape == (4, 9)
+        for i, t in enumerate(valid):
+            assert not m[i, t:].any(), "pad frames must never be denoised"
+            assert m[i, :t].any(), "at least one VALID frame must be denoised"
+
+
+def test_combine_frame_mask_never_all_zero():
+    import jax.numpy as jnp
+    import numpy as np
+    from magicdrive_v2_tpu.training.trainer import combine_frame_mask
+
+    # bucket lat_t=3; sample 0's mask lands entirely on pad frames
+    mask = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    frame_valid = jnp.asarray(  # pixel frames, lat i <- pixel 4i
+        [[1.0] * 5 + [0.0] * 4, [1.0] * 9])
+    out = np.asarray(combine_frame_mask(mask, frame_valid))
+    np.testing.assert_array_equal(out[1], [1.0, 0.0, 0.0])  # intersection kept
+    # all-zero row falls back to denoising every valid frame
+    np.testing.assert_array_equal(out[0], [1.0, 1.0, 0.0])
