@@ -13,6 +13,7 @@ separate axes lets `jax.sharding` express sequence parallelism as a plain
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -264,7 +265,6 @@ def _use_fused_attention(seq_len: int) -> bool:
     standalone win). MDV2_FUSED_ATTN=1 forces the kernel everywhere, =0
     disables it. Requires tracing OUTSIDE a mesh context (under GSPMD the XLA
     composition keeps sequence sharding)."""
-    import os
     from ...ops.flash_fused import FULL_ROW_MAX_N
     flag = os.environ.get("MDV2_FUSED_ATTN")
     if flag == "0":

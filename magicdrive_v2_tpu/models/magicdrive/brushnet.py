@@ -37,7 +37,8 @@ from ...ops.structured_noise import generate_structured_noise
 from ...parallel.sharding import DP_AXIS, SP_AXIS, shard_hint
 from ...registry import MODELS
 from ..layers.blocks import PatchEmbed3D, xavier_uniform
-from .stdit3 import (MagicDriveSTDiT3, MagicDriveSTDiT3Config, MVSTDiTBlock, _scan)
+from .stdit3 import (MagicDriveSTDiT3, MagicDriveSTDiT3Config,
+                     MVSTDiTBlock, _name_carry, _scan)
 
 Dtype = Any
 
@@ -99,6 +100,9 @@ class BrushCtrlLayerGroup(nn.Module):
     def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn, pad_mask=None):
         cfg = self.cfg
         x, c, xi = carry
+        # tag carries for remat_policy='offload_carry' (r4 self-review: only
+        # the stdit3 groups tagged, so BrushNet silently got full remat)
+        x, c, xi = _name_carry(cfg, x), _name_carry(cfg, c), _name_carry(cfg, xi)
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
                       mlp_ratio=cfg.mlp_ratio, qk_norm=cfg.qk_norm,
                       neighbors=cfg.mv_order_map, dtype=cfg.dtype)
@@ -134,6 +138,7 @@ class BrushPlainLayerGroup(nn.Module):
     def __call__(self, carry, _, y, t, t_bn, x_mask, t0, t0_bn, pad_mask=None):
         cfg = self.cfg
         x, xi = carry
+        x, xi = _name_carry(cfg, x), _name_carry(cfg, xi)
         common = dict(hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
                       mlp_ratio=cfg.mlp_ratio, qk_norm=cfg.qk_norm,
                       neighbors=cfg.mv_order_map, dtype=cfg.dtype)
@@ -196,7 +201,7 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
                  t_inpaint=None, num_timesteps: float = 1000.0,
                  noise_inpaint=None, rngs_key: Optional[jax.Array] = None,
                  cond_cache=None, simulate_sp: Optional[int] = None,
-                 frame_valid=None):
+                 frame_valid=None, train: bool = False):
         """Forward (reference :1466-1867; SDE :1977-2470). x_inpaint: (b, 3*NC, T_img,
         H, W) pixels; mask_inpaint: (b, NC, T_img, H, W) in [0, 1].
         frame_valid: (b, T_img) bucket max-T pad validity (see base class);
@@ -230,8 +235,16 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
             if noise_inpaint is None:
                 assert rngs_key is not None
                 flat = xi_enc.reshape(B * xi_enc.shape[1] * Tx, Hx, Wx)
+                # training jitters the FFT cutoff: r = r0 + Exp(rate 0.1)
+                # (reference magicdrive_stdit3.py:2070-2076); eval uses r0
+                cutoff = cfg.structured_noise_r0
+                nk = rngs_key
+                if train:
+                    from ...ops.structured_noise import sample_cutoff_radius
+                    ck, nk = jax.random.split(rngs_key)
+                    cutoff = sample_cutoff_radius(ck, cfg.structured_noise_r0)
                 noise_inpaint = generate_structured_noise(
-                    flat, rngs_key, cutoff_radius=cfg.structured_noise_r0,
+                    flat, nk, cutoff_radius=cutoff,
                     transition_width=cfg.structured_noise_transition
                 ).reshape(xi_enc.shape)
             # rectified-flow mix at the independent inpaint timestep (:2110-2114)
@@ -257,17 +270,17 @@ class MagicDriveSTDiT3BrushNet(MagicDriveSTDiT3):
         pos_emb = pos_embedding_2d(cfg.hidden_size, H, W, scale=scale,
                                    base_size=base_size).astype(dt)
 
-        t_emb = self.t_embedder(timestep.astype(dt))
+        t_emb = self.t_embedder(timestep.astype(jnp.float32))
         fps_emb = self.fps_embedder(jnp.asarray(fps).reshape(-1, 1).astype(dt), b)
         t_emb = t_emb + fps_emb
         t_mlp = self.t_block(jax.nn.silu(t_emb))
         t0_emb = t0_mlp = None
         if x_mask is not None:
-            t0_emb = self.t_embedder(jnp.zeros_like(timestep).astype(dt)) + fps_emb
+            t0_emb = self.t_embedder(jnp.zeros_like(timestep, jnp.float32)) + fps_emb
             t0_mlp = self.t_block(jax.nn.silu(t0_emb))
 
         if cfg.sde_inpaint:
-            ti_emb = self.t_embedder(t_inpaint.astype(dt)) + fps_emb
+            ti_emb = self.t_embedder(t_inpaint.astype(jnp.float32)) + fps_emb
             ti_mlp = self.t_inpaint_block(jax.nn.silu(ti_emb))
             t_bn = self.t_combine_block(
                 jax.nn.silu(jnp.concatenate([t_mlp, ti_mlp], axis=-1)))

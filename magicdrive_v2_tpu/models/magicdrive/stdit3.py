@@ -691,13 +691,13 @@ class MagicDriveSTDiT3(nn.Module):
                                    base_size=base_size).astype(dt)
 
         # timestep embedding
-        t_emb = self.t_embedder(timestep.astype(dt))  # (b, C)
+        t_emb = self.t_embedder(timestep.astype(jnp.float32))  # (b, C)
         fps_emb = self.fps_embedder(jnp.asarray(fps).reshape(-1, 1).astype(dt), b)
         t_emb = t_emb + fps_emb
         t_mlp = self.t_block(jax.nn.silu(t_emb))
         t0_emb = t0_mlp = None
         if x_mask is not None:
-            t0_emb = self.t_embedder(jnp.zeros_like(timestep).astype(dt)) + fps_emb
+            t0_emb = self.t_embedder(jnp.zeros_like(timestep, jnp.float32)) + fps_emb
             t0_mlp = self.t_block(jax.nn.silu(t0_emb))
 
         # condition sequence + map control (cached across sampler steps when given)

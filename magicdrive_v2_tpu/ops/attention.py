@@ -135,7 +135,6 @@ def scan_chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else q
     qs = jnp.moveaxis(qp.reshape(B, nq, q_chunk, H, Dh), 1, 0)
 
-    import functools
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def chunk(qc, k, v):
@@ -160,7 +159,6 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel via MDV2_ATTN_IMPL=pallas (slower at head_dim 72 but O(block) memory).
     """
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, (q.shape, k.shape, v.shape)
-    import os
     forced = os.environ.get("MDV2_ATTN_IMPL")
     if forced:
         impl = forced
@@ -186,6 +184,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if impl == "chunked" and bias is None:
         return chunked_xla_attention(q, k, v, scale=scale)
     if impl == "pallas":
+        if bias is not None:
+            # the flash kernel takes no bias — masked attention (e.g. the
+            # full-length pad mask) must NOT silently drop it (r4 self-review)
+            return xla_attention(q, k, v, scale=scale, bias=bias)
         from .flash_attention import flash_attention
         try:
             return flash_attention(q, k, v, scale=scale)

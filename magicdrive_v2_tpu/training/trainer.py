@@ -205,7 +205,7 @@ def make_brushnet_train_step(model, scheduler, tx, *, height: float, width: floa
                                        width=float(width), x_mask=x_mask,
                                        t_inpaint=t_inpaint,
                                        num_timesteps=float(scheduler.num_timesteps),
-                                       rngs_key=noise_rng,
+                                       rngs_key=noise_rng, train=True,
                                        frame_valid=frame_valid)
             else:
                 def model_fn(x_t, t, x_mask):
@@ -221,7 +221,9 @@ def make_brushnet_train_step(model, scheduler, tx, *, height: float, width: floa
         new_ema = state.ema_params
         if new_ema is not None:
             new_ema = update_ema(new_ema, new_params, ema_decay, ema_mask)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+        gnorm_grads = grads if ema_mask is None else jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, ema_mask)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(gnorm_grads),
                    "t_mean": t_used.mean()}
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt, ema_params=new_ema), metrics

@@ -99,8 +99,8 @@ def add_null_condition(model_args: Dict, uncond_cam, uncond_rel_pos,
         elif k == "maps" and use_map0:
             out[k] = cat(v, jnp.zeros_like(v))
         else:
-            out[k] = jnp.concatenate([v, v], axis=0) if not prepend else \
-                jnp.concatenate([v, v], axis=0)
+            # both halves are the same tensor, so cond/uncond order is moot
+            out[k] = jnp.concatenate([v, v], axis=0)
     return out
 
 

@@ -46,21 +46,30 @@ def count_params(tree) -> int:
 
 
 class Timer:
-    """Device-synchronized timer (reference `Timer` cuda-syncs; here we block on a
-    probe jax op so compiled async dispatch is drained)."""
+    """Device-synchronized timer (reference `Timer` cuda-syncs; here we drain
+    the device with a tiny blocking round-trip — `effects_barrier` alone only
+    waits on ORDERED side-effects, not pending async pure computations)."""
 
     def __init__(self, name: str, log: bool = False, coordinator=None):
         self.name = name
         self.log = log
         self.elapsed = 0.0
 
-    def __enter__(self):
+    @staticmethod
+    def _sync():
         jax.effects_barrier()
+        try:  # a put+fetch serializes behind all queued device work
+            np.asarray(jax.device_put(np.zeros((), np.float32)))
+        except Exception:
+            pass
+
+    def __enter__(self):
+        self._sync()
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        jax.effects_barrier()
+        self._sync()
         self.elapsed = time.perf_counter() - self._t0
         if self.log:
             logging.info("[timer] %s: %.4fs", self.name, self.elapsed)
@@ -99,6 +108,11 @@ def collate_bboxes_to_maxlen(bbox_list, max_len: Optional[int] = None) -> Dict[s
         if "box_latent" in b and b["box_latent"] is not None:
             out.setdefault("box_latent", []).append(
                 np.pad(b["box_latent"], ((0, 0), (0, pad), (0, 0))))
+    if "box_latent" in out and len(out["box_latent"]) != len(bbox_list):
+        # a partial batch would silently pair latents with the wrong samples
+        raise ValueError(
+            f"box_latent present on {len(out['box_latent'])} of "
+            f"{len(bbox_list)} items — all or none must carry it")
     return {k: np.stack(v) for k, v in out.items()}
 
 

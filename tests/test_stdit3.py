@@ -428,3 +428,22 @@ def test_frame_valid_padding_matches_unpadded():
     out_nomask = model.apply(params, **full)
     assert not np.allclose(np.asarray(out_nomask[:, :, :tl_v]), np.asarray(out_ref),
                            rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.heavy
+def test_bf16_model_distinguishes_close_timesteps():
+    """The sinusoidal timestep embedding must see the EXACT fp32 timestep: a
+    bf16 cast before embedding quantizes t with spacing ~4 near 1000, making
+    e.g. t=966.67 and t=968.0 condition identically (r4 self-review)."""
+    cfg = tiny_config(dtype=jnp.bfloat16)
+    model = MagicDriveSTDiT3(cfg)
+    inputs = tiny_inputs(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), **inputs)
+
+    def run(t):
+        ins = {**inputs, "timestep": jnp.full_like(inputs["timestep"], t)}
+        return np.asarray(model.apply(params, **ins))
+
+    a, b = run(966.67), run(968.0)  # both round to bf16 968
+    assert np.abs(a - b).max() > 0, \
+        "timestep was quantized to bf16 before the sinusoidal embedding"
