@@ -127,16 +127,22 @@ def build_train_step(num_frames=17, height=224, width=400, tiny=False):
         return loss, optax.global_norm(grads)
 
     remat_used = "dots"
-    try:
-        step = jax.jit(fwd_bwd).lower(params, batch,
+
+    def mk():  # fwd_bwd closes over `model`, re-traced per attempt
+        return jax.jit(fwd_bwd).lower(params, batch,
                                       jax.random.PRNGKey(0)).compile()
+
+    try:
+        step = _compile_with_retry(mk)
     except Exception as e:
-        if _mem_wall_gb(e) is None:
+        # fall back to full remat on a memory wall OR a persistent relay
+        # compile failure (dots produces a much larger buffer plan; the r4
+        # first run crashed the relay's compile helper on exactly this program)
+        if _mem_wall_gb(e) is None and not _is_transient_compile_error(e):
             raise
         model = MagicDriveSTDiT3(dataclasses.replace(cfg, remat_policy="full"))
         remat_used = "full"
-        step = jax.jit(fwd_bwd).lower(params, batch,
-                                      jax.random.PRNGKey(0)).compile()
+        step = _compile_with_retry(mk)
     return step, params, batch, remat_used, _plan_mem_gb(step)
 
 
@@ -270,39 +276,45 @@ def train424_metric():
                                           jax.random.PRNGKey(0)).compile()
 
         res = {}
+
+        def fallthrough(err, key):
+            """Record why a policy failed; raise only on a real code bug."""
+            wall = _mem_wall_gb(err)
+            if wall is None and not _is_transient_compile_error(err):
+                raise err
+            if wall is not None:
+                res[key] = wall
+            return wall
+
         try:
             # cheapest executed-FLOPs schedule first (docs/PERF.md r4 MFU
             # analysis): dots keeps matmul outputs, ~3.1x fwd vs full's 4x
-            step = compile_step("dots")
+            # (measured r4: the dots plan is 106.4 GB at this shape — it can
+            # only fit sharded over sp; kept first for multi-chip parity)
+            step = _compile_with_retry(lambda: compile_step("dots"), retries=0)
             mode = "remat=dots"
         except Exception as e0:
-            if _mem_wall_gb(e0) is None:
-                raise
-            res["train424_dots_mem_wall_gb"] = _mem_wall_gb(e0)
+            fallthrough(e0, "train424_dots_mem_wall_gb")
             try:
-                step = compile_step("full")
+                step = _compile_with_retry(lambda: compile_step("full"))
                 mode = "remat=full"
             except Exception as e:
-                wall = _mem_wall_gb(e)
-                if wall is None:
-                    raise
-                # the measured single-chip memory wall for the reference's
-                # 424p anchor shape under plain full remat (XLA plan vs the
-                # 16 GB chip); retry with the per-layer carry residuals
-                # offloaded to pinned host memory (the reference spreads this
-                # bucket over four 96 GB H20s / uses --cpu-offload instead)
-                res["train424_mem_wall_gb"] = wall
+                wall = fallthrough(e, "train424_mem_wall_gb")
+                # `wall` is the measured single-chip memory wall for the
+                # reference's 424p anchor shape under plain full remat (XLA
+                # plan vs the 16 GB chip); retry with the per-layer carry
+                # residuals offloaded to pinned host memory (the reference
+                # spreads this bucket over four 96 GB H20s / --cpu-offload)
                 try:
-                    step = compile_step("offload_carry")
+                    step = _compile_with_retry(
+                        lambda: compile_step("offload_carry"))
                     mode = "remat=full+host-offload-carry"
                 except Exception as e2:
-                    wall2 = _mem_wall_gb(e2)
-                    if wall2 is None:
-                        raise
-                    res["train424_offload_mem_wall_gb"] = wall2
+                    fallthrough(e2, "train424_offload_mem_wall_gb")
                     res["train424_shape"] = ("6x424x800x17f bs=1 fwd+bwd (XLA "
-                                             "plan exceeds 16 GB chip even "
-                                             "with carry offload)")
+                                             "plan exceeds the chip's usable "
+                                             "HBM even with carry offload; "
+                                             "real recipe shards it over sp)")
                     return res
         plan_mem = _plan_mem_gb(step)
         loss, _gn = step(params, batch, jax.random.PRNGKey(0))
@@ -360,7 +372,7 @@ def fwd848_metric():
                            b["bbox"], b["cams"], b["rel_pos"], b["fps"],
                            height=h, width=w)
 
-    fwd_c = fwd.lower(params, batch).compile()
+    fwd_c = _compile_with_retry(lambda: fwd.lower(params, batch).compile())
     out = fwd_c(params, batch)
     _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (first run)
     t0 = time.perf_counter()
@@ -418,7 +430,7 @@ def fwdfull224_metric():
         return model.apply(params, z, t, b["y"], b["maps"], b["bbox"],
                            b["cams"], b["rel_pos"], b["fps"], height=h, width=w)
 
-    fwd_c = fwd.lower(params, z2, t2, b2).compile()
+    fwd_c = _compile_with_retry(lambda: fwd.lower(params, z2, t2, b2).compile())
     out = fwd_c(params, z2, t2, b2)
     _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (first run)
     t0 = time.perf_counter()
@@ -472,6 +484,30 @@ def _mem_wall_gb(err) -> float | None:
     import re
     m = re.search(_OOM_RE, str(err))
     return float(m.group(1)) if m else None
+
+
+def _is_transient_compile_error(err) -> bool:
+    """Relay-side compile-helper crashes (BENCH_r04 first run: 'remote_compile:
+    HTTP 500: tpu_compile_helper subprocess exit code 1') are infrastructure
+    failures, not memory walls or code bugs — retryable, and never a reason to
+    abort a metric that has a cheaper fallback."""
+    s = str(err)
+    return ("remote_compile" in s and "HTTP 5" in s) or "tpu_compile_helper" in s
+
+
+def _compile_with_retry(make, retries=1, sleep_s=15.0):
+    """make() -> compiled executable; retry once on transient relay failures."""
+    while True:
+        try:
+            return make()
+        except Exception as e:
+            if retries > 0 and _is_transient_compile_error(e):
+                retries -= 1
+                print(f"bench: transient relay compile failure, retrying: "
+                      f"{str(e)[:160]}", file=sys.stderr, flush=True)
+                time.sleep(sleep_s)
+                continue
+            raise
 
 
 def _last_good_bench() -> dict:
@@ -635,7 +671,8 @@ def main():
 
     z = batch["x"]
     t = batch["timestep"]
-    run_chain = run_chain.lower(params, b2, cond_cache, z, t).compile()
+    run_chain = _compile_with_retry(
+        lambda: run_chain.lower(params, b2, cond_cache, z, t).compile())
     chain_plan_mem = _plan_mem_gb(run_chain)
     out = run_chain(params, b2, cond_cache, z, t)
     _ = np.asarray(out[0, 0, 0, 0, :2])  # full sync through the relay
