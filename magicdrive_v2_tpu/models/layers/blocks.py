@@ -252,6 +252,15 @@ def _rms_apply(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.nd
     return (weight * x32.astype(dtype)).astype(dtype)
 
 
+def _pad_heads() -> bool:
+    """MDV2_PAD_HEADS=1: allocate qkv/proj weights with head_dim padded to the
+    128-lane width (72 -> 128 on the flagship) so spatial attention operands
+    are tile-aligned and XLA inserts no slow misaligned-relayout copies.
+    Experimental; numerics match unpadded to ~1e-5 (rms eps over the zero
+    lanes), exactness test in test_blocks.py."""
+    return os.environ.get("MDV2_PAD_HEADS") == "1"
+
+
 def _use_fused_attention(seq_len: int) -> bool:
     """Dispatch to the Pallas fused-qkv kernel (ops/flash_fused.py).
 
@@ -333,6 +342,36 @@ class SelfAttention(nn.Module):
             return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init,
                             name="proj")(out)
         B, N, C = x.shape
+        if not self.use_rope and _pad_heads():
+            # Head-dim padding folded into the PROJECTION WEIGHTS
+            # (MDV2_PAD_HEADS=1, experimental — docs/PERF.md r5): qkv projects
+            # straight onto (H, 128)-lane-aligned heads so the attention
+            # operands never take the misaligned (..., 72)-minor relayout
+            # copies (~0.68 s/step of `copy` HLOs at 424p). The zero lanes
+            # leave q.k and the value mix exact; the qk-norm rms over Dp-D
+            # zeros inflates q,k by sqrt(Dp/D) each, compensated in the logit
+            # scale. Param shapes change: qkv (C, 3*H*Dp), proj (H*Dp, C).
+            Dp = -(-D // 128) * 128
+            qkv = nn.Dense(3 * H * Dp, use_bias=self.qkv_bias, dtype=self.dtype,
+                           kernel_init=xavier_uniform, name="qkv")(x)
+            q, k, v = jnp.split(qkv.reshape(B, N, 3, H, Dp), 3, axis=2)
+            q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+            scale = D ** -0.5
+            if self.qk_norm:
+                q = _rms_apply(q, jnp.pad(_NormWeight(D, name="q_norm")(),
+                                          (0, Dp - D)))
+                k = _rms_apply(k, jnp.pad(_NormWeight(D, name="k_norm")(),
+                                          (0, Dp - D)))
+                scale = scale * (D / Dp)
+            q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
+            bias = None
+            if kv_mask is not None:
+                bias = jnp.where(kv_mask[:, None, None, :], 0.0,
+                                 -1e9).astype(jnp.float32)
+            out = dot_product_attention(q, k, v, scale=scale, bias=bias)
+            out = out.reshape(B, N, H * Dp)
+            return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init,
+                            name="proj")(out)
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=xavier_uniform, name="qkv")(x)
         qw = kw = None
@@ -435,19 +474,25 @@ class CrossViewAttention(nn.Module):
         H, D = self.num_heads, self.dim // self.num_heads
         nbr = np.asarray(neighbors)
         n_nbr = nbr.shape[1]
-        kernel = self.param("qkv_kernel", xavier_uniform, (C, 3 * C), jnp.float32)
+        pad = _pad_heads() and D % 128 != 0
+        Dp = -(-D // 128) * 128 if pad else D
+        kernel = self.param("qkv_kernel", xavier_uniform, (C, 3 * H * Dp),
+                            jnp.float32)
         kernel = kernel.astype(self.dtype)
         if self.qkv_bias:
-            bias = self.param("qkv_bias", zeros_init, (3 * C,),
+            bias = self.param("qkv_bias", zeros_init, (3 * H * Dp,),
                               jnp.float32).astype(self.dtype)
         else:
-            bias = jnp.zeros((3 * C,), self.dtype)
+            bias = jnp.zeros((3 * H * Dp,), self.dtype)
         qkv = (x_mv @ kernel + bias)
         qw = kw = None
         if self.qk_norm:
             qw = _NormWeight(D, name="q_norm")()
             kw = _NormWeight(D, name="k_norm")()
-        if _use_fused_attention(S):
+            if pad:
+                qw, kw = (jnp.pad(w, (0, Dp - D)) for w in (qw, kw))
+        scale = D ** -0.5 * ((D / Dp) if (pad and self.qk_norm) else 1.0)
+        if _use_fused_attention(S) and not pad:
             # fused Pallas path: the neighbor gather becomes a static (n_nbr, G)
             # group permutation resolved in the kernel's index map — no k/v
             # copy, one kernel call for all neighbors (per-neighbor softmax,
@@ -459,7 +504,7 @@ class CrossViewAttention(nn.Module):
             out = fused_qkv_attention(qkv5, qw, kw, perm, D ** -0.5)
             out = out.reshape(Bp, NC, S, C)
         else:
-            qkv6 = qkv.reshape(Bp, NC, S, 3, H, D)
+            qkv6 = qkv.reshape(Bp, NC, S, 3, H, Dp)
             q, k, v = qkv6[..., 0, :, :], qkv6[..., 1, :, :], qkv6[..., 2, :, :]
             if self.qk_norm:
                 q = _rms_apply(q, qw)
@@ -468,7 +513,7 @@ class CrossViewAttention(nn.Module):
             # softmax). The neighbor gather is unrolled into static slices —
             # an advanced-index gather here lowers to an XLA while-loop of
             # dynamic-update-slices (~7.5 ms/block measured, docs/PERF.md).
-            flat = (Bp * NC, S, H, D)
+            flat = (Bp * NC, S, H, Dp)
             q_f = q.reshape(flat)
             out = None
             for j in range(n_nbr):
@@ -476,15 +521,16 @@ class CrossViewAttention(nn.Module):
                                 axis=1).reshape(flat)
                 v_j = jnp.stack([v[:, int(i)] for i in nbr[:, j]],
                                 axis=1).reshape(flat)
-                o = dot_product_attention(q_f, k_j, v_j, scale=D ** -0.5)
+                o = dot_product_attention(q_f, k_j, v_j, scale=scale)
                 out = o if out is None else out + o
-            out = out.reshape(Bp, NC, S, C)
+            out = out.reshape(Bp, NC, S, H * Dp)
         proj = nn.Dense(C, dtype=self.dtype, kernel_init=xavier_uniform, name="proj")
+        c_in = out.shape[-1]  # H*Dp under MDV2_PAD_HEADS, else C
         out = proj(out)
         if n_nbr > 1:
             # the reference applies proj per neighbor, so its bias enters n_nbr
             # times; proj(zeros) == bias, which XLA folds to a constant
-            out = out + (n_nbr - 1) * proj(jnp.zeros((1, 1, 1, C), out.dtype))
+            out = out + (n_nbr - 1) * proj(jnp.zeros((1, 1, 1, c_in), out.dtype))
         return out  # (B', NC, S, C)
 
 
@@ -506,16 +552,19 @@ class CrossAttention(nn.Module):
         B, N, C = x.shape
         Nc = cond.shape[1]
         H, D = self.num_heads, self.dim // self.num_heads
-        q = nn.Dense(C, dtype=self.dtype, kernel_init=xavier_uniform,
-                     name="q_linear")(x).reshape(B, N, H, D)
-        kv = nn.Dense(2 * C, dtype=self.dtype, kernel_init=xavier_uniform,
-                      name="kv_linear")(cond).reshape(B, Nc, 2, H, D)
+        # MDV2_PAD_HEADS: heads padded to the 128-lane width inside the
+        # projection weights (no qk-norm here, so zero lanes are exact)
+        Dp = -(-D // 128) * 128 if (_pad_heads() and D % 128 != 0) else D
+        q = nn.Dense(H * Dp, dtype=self.dtype, kernel_init=xavier_uniform,
+                     name="q_linear")(x).reshape(B, N, H, Dp)
+        kv = nn.Dense(2 * H * Dp, dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="kv_linear")(cond).reshape(B, Nc, 2, H, Dp)
         k, v = kv[:, :, 0], kv[:, :, 1]
         # conditions are replicated; split on heads over 'sp' (replaces reference
         # SeqParallelMultiHeadCrossAttention kv head-split, blocks.py:777-781)
         q, k, v = (shard_hint(a, {2: SP_AXIS}) for a in (q, k, v))
         out = dot_product_attention(q, k, v, scale=D**-0.5)
-        out = out.reshape(B, N, C)
+        out = out.reshape(B, N, H * Dp)
         return nn.Dense(C, dtype=self.dtype, kernel_init=self.proj_init, name="proj")(out)
 
 

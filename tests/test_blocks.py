@@ -127,3 +127,109 @@ def test_size_embedder(rng):
     assert out.shape == (4, 16)
     # all batch entries equal (broadcast from one fps value)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[3]), atol=1e-6)
+
+
+def test_self_attention_pad_heads_numerics(rng, monkeypatch):
+    """MDV2_PAD_HEADS=1 (head_dim padded to the 128-lane width inside the qkv/
+    proj WEIGHTS, docs/PERF.md r5): padded output == unpadded output when the
+    padded params embed the unpadded ones (zero lanes). Tolerance covers the
+    rms-eps shift from averaging over the zero lanes."""
+    dim, H = 64 * 4, 4  # D=64 -> Dp=128 per head
+    x = jax.random.normal(rng, (2, 6, dim))
+    mod = B.SelfAttention(dim=dim, num_heads=H, qk_norm=True)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    want = mod.apply(params, x)
+
+    monkeypatch.setenv("MDV2_PAD_HEADS", "1")
+    D, Dp = dim // H, 128
+    p = params["params"]
+    kq = np.asarray(p["qkv"]["kernel"]).reshape(dim, 3, H, D)
+    kq_p = np.zeros((dim, 3, H, Dp), np.float32)
+    kq_p[..., :D] = kq
+    bq = np.asarray(p["qkv"]["bias"]).reshape(3, H, D)
+    bq_p = np.zeros((3, H, Dp), np.float32)
+    bq_p[..., :D] = bq
+    kp = np.asarray(p["proj"]["kernel"]).reshape(H, D, dim)
+    kp_p = np.zeros((H, Dp, dim), np.float32)
+    kp_p[:, :D] = kp
+    padded = {"params": {
+        "qkv": {"kernel": jnp.asarray(kq_p.reshape(dim, 3 * H * Dp)),
+                "bias": jnp.asarray(bq_p.reshape(3 * H * Dp))},
+        "proj": {"kernel": jnp.asarray(kp_p.reshape(H * Dp, dim)),
+                 "bias": p["proj"]["bias"]},
+        "q_norm": p["q_norm"], "k_norm": p["k_norm"]}}
+    got = mod.apply(padded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    # masked keys still excluded under padding
+    mask = jnp.array([[True] * 4 + [False] * 2, [True] * 6])
+    got_m = mod.apply(padded, x, kv_mask=mask)
+    monkeypatch.delenv("MDV2_PAD_HEADS")
+    want_m = mod.apply(params, x, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), atol=2e-4)
+
+
+def test_cross_view_and_cross_attention_pad_heads(rng, monkeypatch):
+    """Padded-head variants of CrossViewAttention / CrossAttention match the
+    unpadded modules when the padded params embed the unpadded ones."""
+    dim, H = 128, 2  # D=64 -> Dp=128
+    D, Dp = dim // H, 128
+    nbr = ((1, 2), (2, 0), (0, 1))
+    x_mv = jax.random.normal(rng, (2, 3, 5, dim))
+    mod = B.CrossViewAttention(dim=dim, num_heads=H, qk_norm=True)
+    params = mod.init(jax.random.PRNGKey(0), x_mv, nbr)
+    want = mod.apply(params, x_mv, nbr)
+
+    p = params["params"]
+    kq = np.asarray(p["qkv_kernel"]).reshape(dim, 3, H, D)
+    kq_p = np.zeros((dim, 3, H, Dp), np.float32)
+    kq_p[..., :D] = kq
+    bq = np.asarray(p["qkv_bias"]).reshape(3, H, D)
+    bq_p = np.zeros((3, H, Dp), np.float32)
+    bq_p[..., :D] = bq
+    kp = np.asarray(p["proj"]["kernel"]).reshape(H, D, dim)
+    kp_p = np.zeros((H, Dp, dim), np.float32)
+    kp_p[:, :D] = kp
+    padded = {"params": {
+        "qkv_kernel": jnp.asarray(kq_p.reshape(dim, 3 * H * Dp)),
+        "qkv_bias": jnp.asarray(bq_p.reshape(3 * H * Dp)),
+        "proj": {"kernel": jnp.asarray(kp_p.reshape(H * Dp, dim)),
+                 "bias": p["proj"]["bias"]},
+        "q_norm": p["q_norm"], "k_norm": p["k_norm"]}}
+    monkeypatch.setenv("MDV2_PAD_HEADS", "1")
+    got = mod.apply(padded, x_mv, nbr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    # CrossAttention (no qk-norm: zero lanes exact)
+    monkeypatch.delenv("MDV2_PAD_HEADS")
+    ca = B.CrossAttention(dim=dim, num_heads=H)
+    xq = jax.random.normal(rng, (2, 6, dim))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 4, dim))
+    cparams = ca.init(jax.random.PRNGKey(0), xq, cond)
+    cwant = ca.apply(cparams, xq, cond)
+    cp = cparams["params"]
+    kq = np.asarray(cp["q_linear"]["kernel"]).reshape(dim, H, D)
+    kq_p = np.zeros((dim, H, Dp), np.float32)
+    kq_p[..., :D] = kq
+    bqq = np.asarray(cp["q_linear"]["bias"]).reshape(H, D)
+    bq_p = np.zeros((H, Dp), np.float32)
+    bq_p[..., :D] = bqq
+    kkv = np.asarray(cp["kv_linear"]["kernel"]).reshape(dim, 2, H, D)
+    kkv_p = np.zeros((dim, 2, H, Dp), np.float32)
+    kkv_p[..., :D] = kkv
+    bkv = np.asarray(cp["kv_linear"]["bias"]).reshape(2, H, D)
+    bkv_p = np.zeros((2, H, Dp), np.float32)
+    bkv_p[..., :D] = bkv
+    kp = np.asarray(cp["proj"]["kernel"]).reshape(H, D, dim)
+    kp_p = np.zeros((H, Dp, dim), np.float32)
+    kp_p[:, :D] = kp
+    cpadded = {"params": {
+        "q_linear": {"kernel": jnp.asarray(kq_p.reshape(dim, H * Dp)),
+                     "bias": jnp.asarray(bq_p.reshape(H * Dp))},
+        "kv_linear": {"kernel": jnp.asarray(kkv_p.reshape(dim, 2 * H * Dp)),
+                      "bias": jnp.asarray(bkv_p.reshape(2 * H * Dp))},
+        "proj": {"kernel": jnp.asarray(kp_p.reshape(H * Dp, dim)),
+                 "bias": cp["proj"]["bias"]}}}
+    monkeypatch.setenv("MDV2_PAD_HEADS", "1")
+    cgot = ca.apply(cpadded, xq, cond)
+    np.testing.assert_allclose(np.asarray(cgot), np.asarray(cwant), atol=2e-5)
