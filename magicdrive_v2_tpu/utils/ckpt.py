@@ -134,6 +134,14 @@ def _to_flax_layout(w: np.ndarray, flax_shape: Tuple[int, ...],
         w = w.transpose(2, 3, 4, 1, 0)
     if w.shape == tuple(flax_shape):
         return w
+    # rank mismatch via singleton kernel dims only: e.g. the reference
+    # ShallowEncoder's temporal Conv3d with kernel (5, 1, 1) maps onto our 2D
+    # time-axis conv — torch (5,1,1,4,4) vs flax (5,1,4,4). Safe exactly when
+    # dropping size-1 axes leaves the SAME non-singleton dim sequence.
+    if (w.size == int(np.prod(flax_shape))
+            and [d for d in w.shape if d != 1]
+            == [d for d in flax_shape if d != 1]):
+        return w.reshape(flax_shape)
     # y_embedding resize rule (reference ckpt_utils.py:45-62): token_num mismatch
     if key.endswith("y_embedding") and w.ndim == 2 and w.shape[1] == flax_shape[1]:
         out = np.zeros(flax_shape, w.dtype)
@@ -409,6 +417,12 @@ def load_checkpoint(path: str, *, params_like: Any = None, opt_state_like: Any =
     `*_like` trees (with shardings, under pjit) guide orbax restoration; pass real
     abstract trees to restore sharded. Returns dict with params / ema / opt_state /
     running_states.
+
+    NOTE: orbax restore runs cross-process barriers in a multi-process runtime;
+    a single controller must not call this on a checkpoint the other controllers
+    never touch (deadlock). The broadcast-free validation gather
+    (train_magicdrive.py val_gather_mode=checkpoint) therefore restores in a
+    clean single-process subprocess instead.
     """
     import orbax.checkpoint as ocp
 

@@ -561,3 +561,119 @@ def test_full_model_conversion_parity(ref):
     assert got.shape == want.shape, (got.shape, want.shape)
     err = np.abs(got - want).max()
     assert err < 1e-4, err
+
+
+def test_sde_brushnet_conversion_parity(ref):
+    """BrushNet/SDE branch conversion + activation parity (VERDICT r4 item 5):
+    random-init the torch MagicDriveSTDiT3SDEBrushNet (reference
+    magicdrive_stdit3.py:1870-2470), convert its COMPLETE state dict through
+    convert_torch_state_dict, and assert float64 forward parity with an
+    explicit inpaint noise (reference `noise_inpaint_encoded`) so the
+    structured-noise generator stays out of the comparison. Exercises the
+    ShallowEncoder, x_brushnet_embedder, t_inpaint/t_combine blocks, the
+    rectified-flow add_noise mix at the independent t_inpaint, the trilinear
+    mask downsample, and BOTH brushnet scan segments (ctrl + plain)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from magicdrive_v2_tpu.config.presets import xl2_model
+    from magicdrive_v2_tpu.models.magicdrive.brushnet import (
+        BrushNetConfig, MagicDriveSTDiT3BrushNet)
+    from magicdrive_v2_tpu.models.magicdrive.stdit3 import build_model_config
+    from magicdrive_v2_tpu.pipelines.magicdrive import synthetic_batch
+    from magicdrive_v2_tpu.utils.ckpt import convert_torch_state_dict
+
+    C, H = 64, 4
+    mv_order = {0: [1, 2], 1: [2, 0], 2: [0, 1]}
+    tiny = dict(depth=4, control_depth=2, hidden_size=C, num_heads=H,
+                in_channels=4, caption_channels=32, model_max_length=16,
+                input_sq_size=512)
+    model_dict = xl2_model(control_skip_temporal=False)
+    model_dict.pop("type")
+    model_dict.pop("from_pretrained", None)
+    model_dict["bbox_embedder_param"].update(
+        class_token_dim=C, proj_dims=[C, 32, 32, C], num_heads=H)
+    model_dict["frame_emb_param"].update(num_heads=H)
+    model_dict["map_embedder_param"].update(block_out_channels=[8, 16, 24, 32],
+                                            conditioning_size=[8, 64, 64])
+    model_dict.update(tiny)
+
+    torch.manual_seed(23)
+    ref_dict = dict(model_dict)
+    for k in ("cam_encoder_cls", "bbox_embedder_cls", "map_embedder_cls",
+              "frame_emb_cls"):
+        ref_dict[k] = "magicdrivedit.models.magicdrive.embedder." + ref_dict[k]
+    ref_cfg = ref.stdit3.MagicDriveSTDiT3Config(
+        enable_flash_attn=False, enable_xformers=False,
+        enable_layernorm_kernel=False, **ref_dict)
+    ref_model = ref.stdit3.MagicDriveSTDiT3SDEBrushNet(ref_cfg).eval().double()
+
+    base_cfg = build_model_config(dict(model_dict), vae_out_channels=4,
+                                  mv_order_map=mv_order, dtype=jnp.float64)
+    import dataclasses
+    cfg = BrushNetConfig(**dataclasses.asdict(base_cfg), sde_inpaint=True)
+    ours = MagicDriveSTDiT3BrushNet(cfg)
+
+    num_frames, height, width = 5, 32, 48
+    NC, C_in = len(mv_order), 4
+    lat_t, lat_h, lat_w = 2, height // 8, width // 8
+    rng_np = np.random.default_rng(5)
+    batch = synthetic_batch(cfg, num_frames=num_frames, height=height,
+                            width=width, l_box=4, l_txt=16, caption_channels=32,
+                            b=1, map_size=(8, 64, 64))
+    hf, wf = batch.pop("height"), batch.pop("width")
+    x_inpaint = rng_np.standard_normal((1, 3 * NC, num_frames, height, width)
+                                       ).astype(np.float64)
+    mask_inpaint = rng_np.integers(0, 2, (1, NC, num_frames, height, width)
+                                   ).astype(np.float64)
+    noise_model = rng_np.standard_normal((1, C_in * NC, lat_t, lat_h, lat_w)
+                                         ).astype(np.float64)
+    # ours takes the noise in the (B*NC, C, T', h', w') shallow-latent layout
+    # (the exact rearrange the reference applies to noise_inpaint_encoded)
+    noise_ours = noise_model.reshape(1, C_in, NC, lat_t, lat_h, lat_w) \
+        .transpose(0, 2, 1, 3, 4, 5).reshape(NC, C_in, lat_t, lat_h, lat_w)
+    t_inpaint = np.array([300.0])
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        b64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, batch)
+        extra = dict(x_inpaint=jnp.asarray(x_inpaint),
+                     mask_inpaint=jnp.asarray(mask_inpaint),
+                     t_inpaint=jnp.asarray(t_inpaint),
+                     num_timesteps=1000.0,
+                     noise_inpaint=jnp.asarray(noise_ours))
+        params = ours.init(jax.random.PRNGKey(0), **b64, **extra,
+                           height=hf, width=wf)
+        sd = {k: v.detach().double().numpy()
+              for k, v in ref_model.state_dict().items()}
+        params = convert_torch_state_dict(sd, params, strict=True,
+                                           control_depth=tiny["control_depth"])
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a),
+            params)
+        got = np.asarray(ours.apply(params, **b64, **extra,
+                                    height=hf, width=wf))
+
+        def tt(a):
+            a = np.asarray(a)
+            return torch.tensor(a.astype(np.float64) if a.dtype.kind == "f" else a)
+
+        tb = {k: (jax.tree_util.tree_map(tt, v) if isinstance(v, dict) else tt(v))
+              for k, v in batch.items()}
+        with torch.no_grad():
+            want = ref_model(
+                tb["x"], tt(x_inpaint), tt(mask_inpaint), tb["timestep"],
+                tt(t_inpaint), 1000, tb["y"], tb["maps"], tb["bbox"],
+                tb["cams"], tb["rel_pos"], tb["fps"],
+                height=torch.tensor([hf], dtype=torch.float64),
+                width=torch.tensor([wf], dtype=torch.float64),
+                noise_inpaint_encoded=tt(noise_model),
+                mv_order_map=mv_order).numpy()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    err = np.abs(got - want).max()
+    assert err < 1e-4, err
