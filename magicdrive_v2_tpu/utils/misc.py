@@ -12,6 +12,31 @@ import numpy as np
 _WARNED = set()
 
 
+def enable_compile_cache(root: Optional[str] = None) -> None:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    Called by every entry app: TPU compiles go through the remote relay
+    (10-25 min for the full XL/2 graph), and on CI the CPU smoke apps
+    recompile identical tiny programs per subprocess. Cache dirs are split by
+    backend (.jaxcache TPU / .jaxcache_cpu CPU — entries are keyed by HLO +
+    flags so they'd never collide, but separate dirs keep them prunable).
+    MDV2_JAXCACHE_DIR overrides; MDV2_JAXCACHE_DIR="" disables."""
+    import os
+    override = os.environ.get("MDV2_JAXCACHE_DIR")
+    if override == "":
+        return
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    cpu = jax.default_backend() == "cpu"
+    path = override or os.path.join(root, ".jaxcache_cpu" if cpu else ".jaxcache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # older jax without the knob: cache is best-effort
+        pass
+
+
 def warn_once(msg: str):
     if msg not in _WARNED:
         _WARNED.add(msg)

@@ -111,6 +111,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from magicdrive_v2_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 10-25 min
 
     from magicdrive_v2_tpu.config import Config, merge_dot_options
     from magicdrive_v2_tpu.pipelines.magicdrive import (MagicDrivePipeline,

@@ -51,6 +51,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from magicdrive_v2_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: relay compiles are 10-25 min
 
     from magicdrive_v2_tpu.config import Config, merge_dot_options
     from magicdrive_v2_tpu.models.magicdrive.brushnet import (
@@ -100,12 +102,12 @@ def main():
     # per-PROCESS rows (multi-host: this process's dp rows of the global batch)
     b = cfg.get("batch_size", 1) * dp_local
     nc = model_cfg.nc
-    rng_np = np.random.default_rng(cfg.get("seed", 0) + dp_offset)
-
-    def make_batch(_step):
-        # seed drawn from the dp_offset-seeded rng so each process's rows
-        # carry DIFFERENT samples (the global batch must not duplicate rows
-        # across hosts); step order stays reproducible per process
+    def make_batch(step):
+        # all content derives from (seed + dp_offset, step): each process's
+        # rows carry DIFFERENT samples (the global batch must not duplicate
+        # rows across hosts) and any step's batch can be re-derived without
+        # replaying a stateful stream (same contract as train_magicdrive.py)
+        rng_np = np.random.default_rng((cfg.get("seed", 0) + dp_offset, step))
         batch = synthetic_batch(model_cfg, num_frames=t_img, height=height,
                                 width=width, l_txt=32, b=b, map_size=(8, 80, 80),
                                 seed=int(rng_np.integers(1 << 31)))
@@ -148,14 +150,14 @@ def main():
 
         exp_dir = cfg.get("outputs", "outputs/train_brushnet")
         os.makedirs(exp_dir, exist_ok=True)
-        rng = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
+        base_key = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
         steps = args.max_steps or cfg.get("synthetic_steps", 10)
         t0 = time.time()
         for step in range(1, steps + 1):
             batch = make_batch(step)
             if nproc > 1:
                 batch = make_global_batch(batch, mesh)
-            rng, k = jax.random.split(rng)
+            k = jax.random.fold_in(base_key, step)
             state, metrics = step_fn(state, batch, k)
             loss = float(metrics["loss"])
             logger.info(json.dumps({"step": step, "loss": loss,
