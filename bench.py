@@ -86,10 +86,15 @@ def build_train_step(num_frames=17, height=224, width=400, tiny=False):
     from magicdrive_v2_tpu.schedulers.rf import RFLOW
 
     cfg = _flagship_config(tiny=tiny, dtype=jnp.float32 if tiny else jnp.bfloat16)
-    # "dots" remat bills ~3.1x fwd FLOPs instead of full remat's 4x (see
-    # docs/PERF.md r4 MFU analysis); fall back to full remat if the saved
-    # matmul outputs don't fit the plan
-    cfg = dataclasses.replace(cfg, grad_checkpoint=True, remat_policy="dots")
+    # "dots" remat bills ~3.1x fwd FLOPs instead of full remat's 4x (docs/
+    # PERF.md r4 MFU analysis) — but r5 MEASURED its single-chip walls: 18.67
+    # GB at 224x400x9f (queue log .r5), so the 17f anchor cannot fit dots on a
+    # 16 GB chip, and attempting it risks crashing the relay compile helper
+    # right before the full-remat fallback (the r4/r5 lost-datapoint mode).
+    # Default to full remat; MDV2_BENCH_TRY_DOTS=1 re-enables the attempt.
+    try_dots = os.environ.get("MDV2_BENCH_TRY_DOTS") == "1"
+    cfg = dataclasses.replace(cfg, grad_checkpoint=True,
+                              remat_policy="dots" if try_dots else "full")
     model = MagicDriveSTDiT3(cfg)
     batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
                             l_txt=60, b=1,
@@ -126,23 +131,38 @@ def build_train_step(num_frames=17, height=224, width=400, tiny=False):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, optax.global_norm(grads)
 
-    remat_used = "dots"
+    remat_used = cfg.remat_policy if try_dots else \
+        "full(dots-skipped: measured 18.67G wall at 224p9f, r5)"
 
     def mk():  # fwd_bwd closes over `model`, re-traced per attempt
         return jax.jit(fwd_bwd).lower(params, batch,
                                       jax.random.PRNGKey(0)).compile()
 
+    if not try_dots:
+        # retries=3/45s: a helper crash wedges the relay for ~a minute
+        # (r5 queue log: the instant fallback recompile after a dots crash
+        # failed too; 60 s later the same program compiled)
+        step = _compile_with_retry(mk, retries=3, sleep_s=45.0)
+        return step, params, batch, remat_used, _plan_mem_gb(step)
+
     try:
-        step = _compile_with_retry(mk)
+        # retries=0: when the relay crashes on the dots program (r4/r5 failure
+        # mode), fall straight through to full remat instead of burning a
+        # second ~10 min compile on a plan that r4 measured far over-HBM
+        step = _compile_with_retry(mk, retries=0)
     except Exception as e:
         # fall back to full remat on a memory wall OR a persistent relay
         # compile failure (dots produces a much larger buffer plan; the r4
         # first run crashed the relay's compile helper on exactly this program)
-        if _mem_wall_gb(e) is None and not _is_transient_compile_error(e):
+        wall = _mem_wall_gb(e)
+        if wall is None and not _is_transient_compile_error(e):
             raise
         model = MagicDriveSTDiT3(dataclasses.replace(cfg, remat_policy="full"))
-        remat_used = "full"
-        step = _compile_with_retry(mk)
+        # record WHY dots was skipped so the emitted datapoint distinguishes a
+        # measured memory wall from relay flakiness (r4 advisor finding)
+        remat_used = (f"full(dots-mem-wall:{wall}G)" if wall is not None
+                      else "full(dots-relay-failed)")
+        step = _compile_with_retry(mk, retries=3, sleep_s=45.0)
     return step, params, batch, remat_used, _plan_mem_gb(step)
 
 
@@ -296,7 +316,10 @@ def train424_metric():
         except Exception as e0:
             fallthrough(e0, "train424_dots_mem_wall_gb")
             try:
-                step = _compile_with_retry(lambda: compile_step("full"))
+                # retries=3/45s: ride out the ~1 min relay wedge that follows
+                # a dots helper crash (r5 queue log)
+                step = _compile_with_retry(lambda: compile_step("full"),
+                                           retries=3, sleep_s=45.0)
                 mode = "remat=full"
             except Exception as e:
                 wall = fallthrough(e, "train424_mem_wall_gb")
@@ -307,14 +330,25 @@ def train424_metric():
                 # spreads this bucket over four 96 GB H20s / --cpu-offload)
                 try:
                     step = _compile_with_retry(
-                        lambda: compile_step("offload_carry"))
+                        lambda: compile_step("offload_carry"),
+                        retries=3, sleep_s=45.0)
                     mode = "remat=full+host-offload-carry"
                 except Exception as e2:
-                    fallthrough(e2, "train424_offload_mem_wall_gb")
-                    res["train424_shape"] = ("6x424x800x17f bs=1 fwd+bwd (XLA "
-                                             "plan exceeds the chip's usable "
-                                             "HBM even with carry offload; "
-                                             "real recipe shards it over sp)")
+                    wall2 = fallthrough(e2, "train424_offload_mem_wall_gb")
+                    if wall2 is not None:
+                        # only claim a memory wall when XLA's allocator
+                        # actually reported one (r4 advisor medium finding)
+                        res["train424_shape"] = (
+                            "6x424x800x17f bs=1 fwd+bwd (XLA plan exceeds "
+                            "the chip's usable HBM even with carry offload; "
+                            "real recipe shards it over sp)")
+                    else:
+                        res["train424_relay_compile_failed"] = True
+                        res["train424_shape"] = (
+                            "6x424x800x17f bs=1 fwd+bwd (compile never "
+                            "reached XLA's allocator: relay infrastructure "
+                            "failure, NOT memory evidence)")
+                    _carry_prior_walls(res)
                     return res
         plan_mem = _plan_mem_gb(step)
         loss, _gn = step(params, batch, jax.random.PRNGKey(0))
@@ -329,6 +363,7 @@ def train424_metric():
                    train424_plan_mem_gb=plan_mem,
                    train424_shape=f"6x424x800x17f bs=1 {mode} fwd+bwd "
                                   "scan-chunked-attn")
+        _carry_prior_walls(res)
         # no _peak_mem_gb here: peak_bytes_in_use is process-cumulative and the
         # 848p forward phase runs first — the per-phase memory figure for this
         # shape is train424_plan_mem_gb (XLA's allocation plan)
@@ -475,6 +510,34 @@ def _plan_mem_gb(compiled):
         return None
 
 
+_WALL_KEYS = ("train424_dots_mem_wall_gb", "train424_mem_wall_gb",
+              "train424_offload_mem_wall_gb")
+
+
+def _carry_prior_walls(res: dict) -> None:
+    """Fill missing 424p memory-wall keys from the newest prior BENCH artifact
+    that measured them, under distinct `*_carried_r{N}` names so carried values
+    are never mistaken for this run's measurements. A relay-crash compile
+    records no wall (the error text never reaches XLA's allocator), which
+    otherwise silently drops evidence PERF.md cites (r4 advisor finding)."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                extras = (json.load(f).get("parsed") or {}).get("extras") or {}
+        except Exception:
+            continue
+        m = re.search(r"BENCH_r(\d+)", path)
+        rnd = m.group(1) if m else "?"
+        for k in _WALL_KEYS:
+            if k not in res and not any(s.startswith(k + "_carried")
+                                        for s in res) and k in extras:
+                res[f"{k}_carried_r{rnd}"] = extras[k]
+
+
 _OOM_RE = r"hbm requirement ([0-9.]+)G"
 
 
@@ -496,12 +559,17 @@ def _is_transient_compile_error(err) -> bool:
 
 
 def _compile_with_retry(make, retries=1, sleep_s=15.0):
-    """make() -> compiled executable; retry once on transient relay failures."""
+    """make() -> compiled executable; retry once on transient relay failures.
+
+    A parsed memory wall takes precedence over the transient-string match: a
+    RESOURCE_EXHAUSTED whose text also mentions the relay helper is a
+    deterministic OOM — retrying recompiles a program guaranteed to OOM again."""
     while True:
         try:
             return make()
         except Exception as e:
-            if retries > 0 and _is_transient_compile_error(e):
+            if (retries > 0 and _is_transient_compile_error(e)
+                    and _mem_wall_gb(e) is None):
                 retries -= 1
                 print(f"bench: transient relay compile failure, retrying: "
                       f"{str(e)[:160]}", file=sys.stderr, flush=True)
@@ -535,6 +603,57 @@ def _last_good_bench() -> dict:
         except Exception:
             continue
     return best
+
+
+def _last_good_train() -> dict | None:
+    """Newest prior BENCH_r*.json whose extras actually contain a measured
+    train_step_s (r4's artifact has only train_error — its newest train
+    measurement is r2's). Returns {round, train_*...} or None."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = {"round": 2, "train_step_s": 2.055,
+            "train_tflops_per_s_chip": 52.5, "train_vs_baseline": 2.4913}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                extras = (json.load(f).get("parsed") or {}).get("extras") or {}
+        except Exception:
+            continue
+        m = re.search(r"BENCH_r(\d+)", path)
+        n = int(m.group(1)) if m else 0
+        if extras.get("train_step_s") is not None and n > best["round"]:
+            best = {"round": n,
+                    **{k: v for k, v in extras.items()
+                       if k.startswith("train_") and not k.endswith("_error")}}
+    return best
+
+
+def _capability_status() -> dict:
+    """One line per asset-gated capability so green artifacts stop silently
+    overstating coverage (r4 verdict weak #6): the real-weights tests
+    (tests/test_real_weights.py) skip when no pretrained snapshots are
+    mounted; record that fact in the bench artifact itself."""
+    ckpt_root = os.environ.get("MDV2_CKPT_ROOT", "/data/ckpts")
+    import glob
+    have_vae = any(os.path.isfile(os.path.join(d, "vae", "config.json"))
+                   for p in ("CogVideoX*", "cogvideox*")
+                   for d in glob.glob(os.path.join(ckpt_root, p)))
+    have_dit = any(glob.glob(os.path.join(ckpt_root, p))
+                   for p in ("MagicDrive*/ema.pt", "MagicDrive*/ema.safetensors",
+                             "MagicDrive*/model/*.safetensors", "ema.pt"))
+    have_t5 = any(os.path.isfile(os.path.join(d, "config.json"))
+                  for p in ("t5-v1_1-xxl", "t5*")
+                  for d in glob.glob(os.path.join(ckpt_root, p)))
+    if have_vae and have_dit and have_t5:
+        return {"real_weights": "assets mounted (tests/test_real_weights.py "
+                                "exercises them)"}
+    missing = [n for n, ok in (("DiT ema.pt", have_dit),
+                               ("CogVideoX VAE", have_vae),
+                               ("T5 snapshot", have_t5)) if not ok]
+    return {"real_weights": "skipped (no assets under " + ckpt_root + ": "
+                            + ", ".join(missing) + " absent; see "
+                            "tests/test_real_weights.py header for layout)"}
 
 
 def _probe_tpu_subprocess(timeout_s: float) -> tuple[bool, str]:
@@ -705,7 +824,7 @@ def main():
     extras = dict(platform=platform, p50_step_s=round(p50, 4),
                   step_flops=flops, mfu_vs_peak=round(mfu, 3),
                   shape=f"6x{height}x{width}x{num_frames}f",
-                  chained_steps=CHAINED_STEPS)
+                  chained_steps=CHAINED_STEPS, **_capability_status())
     if chain_plan_mem is not None:
         # reference anchor: 17.91 GB @ 424x800x17f inference on H20 (BASELINE.md
         # row "Inference peak mem"; theirs is runtime peak WITH cpu-offload,
@@ -724,6 +843,12 @@ def main():
             extras.update(train_step_metric())
         except Exception as e:  # train bench is best-effort; never lose the metric
             extras["train_error"] = f"{type(e).__name__}: {e}"[:200]
+            # carry the newest previously-measured train datapoint forward
+            # (clearly marked) so a relay outage cannot erase train evidence
+            # entirely — same contract the headline metric has via last_good
+            lg = _last_good_train()
+            if lg:
+                extras["train_last_good"] = lg
     if on_tpu and os.environ.get("MDV2_BENCH_848", "1") != "0":
         try:
             import gc
