@@ -426,12 +426,18 @@ def fwd848_metric():
 
 
 def fwdfull224_metric():
-    """FULL-LENGTH CFG denoise step at 6x224x400, T_img=233 (the ~20 s /
+    """FULL-LENGTH denoise pass at 6x224x400, T_img=233 (the ~20 s /
     232-frame whole-scene headline, snapped to the 8n+1 grid -> T'=59).
     Reference anchor: 21.93 GB peak on H20 at sp=1 (doc/FAQ.md:36-43,
-    BASELINE.md row 10) — fitting the CFG step on ONE 16 GB v5e chip
-    demonstrates the capability without sequence parallelism. Opt-in via
-    MDV2_BENCH_FULL224=1 (costs an extra relay compile)."""
+    BASELINE.md row 10).
+
+    Measures the SINGLE-pass forward (b=6 views): the reference's own
+    full-length mode is rflow-slice — two single passes per step — and the
+    batched-CFG (b=12) program deterministically crashes the relay's
+    tpu_compile_helper (~4 min in, reproduced twice r5); the slice leg is
+    both the representative program and the one that compiles. r5 measured:
+    7.51 s/pass, 12.61 GB plan — full-length fits ONE 16 GB chip.
+    MDV2_BENCH_FULL224=0 disables."""
     import gc
 
     import jax
@@ -452,11 +458,9 @@ def fwdfull224_metric():
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
     params = jax.device_put(params)
 
-    double = lambda a: jnp.concatenate([a, a], axis=0)
-    b2 = {k: jax.tree_util.tree_map(double, v) for k, v in batch.items()
-          if k not in ("x", "timestep")}
-    b2 = jax.device_put(b2)
-    z2, t2 = double(batch["x"]), double(batch["timestep"])
+    b1 = {k: v for k, v in batch.items() if k not in ("x", "timestep")}
+    b1 = jax.device_put(b1)
+    z1, t1 = batch["x"], batch["timestep"]
     del batch
     gc.collect()
 
@@ -465,16 +469,17 @@ def fwdfull224_metric():
         return model.apply(params, z, t, b["y"], b["maps"], b["bbox"],
                            b["cams"], b["rel_pos"], b["fps"], height=h, width=w)
 
-    fwd_c = _compile_with_retry(lambda: fwd.lower(params, z2, t2, b2).compile())
-    out = fwd_c(params, z2, t2, b2)
+    fwd_c = _compile_with_retry(lambda: fwd.lower(params, z1, t1, b1).compile())
+    out = fwd_c(params, z1, t1, b1)
     _ = np.asarray(out[0, 0, 0, 0, :2])  # sync (first run)
     t0 = time.perf_counter()
-    out = fwd_c(params, z2, t2, b2)
+    out = fwd_c(params, z1, t1, b1)
     _ = np.asarray(out[0, 0, 0, 0, :2])
     dt = time.perf_counter() - t0
-    res = {"fwdfull224_s": round(dt, 2),
+    res = {"fwdfull224_slice_s": round(dt, 2),
            "fwdfull224_plan_mem_gb": _plan_mem_gb(fwd_c),
-           "fwdfull224_shape": "6x224x400x233f (T'=59) CFG forward, sp=1"}
+           "fwdfull224_shape": ("6x224x400x233f (T'=59) single-pass forward "
+                                "(rflow-slice leg), sp=1")}
     mem = _peak_mem_gb()
     if mem is not None:
         res["fwdfull224_peak_mem_gb"] = mem
@@ -863,9 +868,10 @@ def main():
             extras.update(train424_metric())
         except Exception as e:  # the measured memory wall, if it still OOMs
             extras["train424_error"] = f"{type(e).__name__}: {e}"[:300]
-    if on_tpu and os.environ.get("MDV2_BENCH_FULL224", "0") == "1":
-        # opt-in: full-length single-chip datapoint (extra relay compile);
-        # run manually when the relay is healthy, keep the driver bench lean
+    if on_tpu and os.environ.get("MDV2_BENCH_FULL224", "1") != "0":
+        # full-length single-chip datapoint (default ON since r5: the
+        # single-pass program is in the persistent compile cache, so repeat
+        # runs re-measure in seconds)
         try:
             import gc
             gc.collect()
