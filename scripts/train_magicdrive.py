@@ -407,11 +407,21 @@ def main():
                     # join (observed deadlock); a subprocess with no
                     # distributed init reads the shards purely from disk
                     pkl = os.path.join(tmp, "full_tree.pkl")
+                    # RestoreArgs(restore_type=np.ndarray) per leaf: the
+                    # shard files carry the SAVING topology's device ids,
+                    # which a fresh 1-process interpreter cannot rebuild —
+                    # a plain restore fails with "expected Sharding, got
+                    # None"; forcing numpy leaves reads pure bytes.
                     reader = (
                         "import pickle, sys, numpy as np\n"
                         "import jax; jax.config.update('jax_platforms','cpu')\n"
                         "import orbax.checkpoint as ocp\n"
-                        "t = ocp.PyTreeCheckpointer().restore(sys.argv[1])\n"
+                        "c = ocp.PyTreeCheckpointer()\n"
+                        "meta = c.metadata(sys.argv[1]).item_metadata\n"
+                        "args = jax.tree_util.tree_map(\n"
+                        "    lambda _: ocp.RestoreArgs(restore_type=np.ndarray),"
+                        " meta)\n"
+                        "t = c.restore(sys.argv[1], restore_args=args)\n"
                         "t = jax.tree_util.tree_map(np.asarray, t)\n"
                         "pickle.dump(t, open(sys.argv[2], 'wb'))\n")
                     env = {k: v for k, v in os.environ.items()
