@@ -70,7 +70,8 @@ def estimate_step_flops(cfg, B, T, S, L_cond, T_img) -> float:
     return 2.0 * total_macs  # MAC -> FLOP
 
 
-def build_train_step(num_frames=17, height=224, width=400, tiny=False):
+def build_train_step(num_frames=17, height=224, width=400, tiny=False,
+                     remat=None):
     """Build + compile the single-chip fwd+bwd train step used by
     train_step_metric (also imported by tools/perf_lab.py trainprofile).
     Returns (step, params, batch, remat_used, plan_mem_gb)."""
@@ -92,9 +93,13 @@ def build_train_step(num_frames=17, height=224, width=400, tiny=False):
     # 16 GB chip, and attempting it risks crashing the relay compile helper
     # right before the full-remat fallback (the r4/r5 lost-datapoint mode).
     # Default to full remat; MDV2_BENCH_TRY_DOTS=1 re-enables the attempt.
-    try_dots = os.environ.get("MDV2_BENCH_TRY_DOTS") == "1"
+    # `remat` pins the policy explicitly (no env, no fallback) — used by the
+    # dots-vs-full A/B phase at a shape where dots executes (train_dots_ab).
+    try_dots = remat == "dots" if remat is not None else \
+        os.environ.get("MDV2_BENCH_TRY_DOTS") == "1"
     cfg = dataclasses.replace(cfg, grad_checkpoint=True,
-                              remat_policy="dots" if try_dots else "full")
+                              remat_policy=remat or
+                              ("dots" if try_dots else "full"))
     model = MagicDriveSTDiT3(cfg)
     batch = synthetic_batch(cfg, num_frames=num_frames, height=height, width=width,
                             l_txt=60, b=1,
@@ -131,12 +136,17 @@ def build_train_step(num_frames=17, height=224, width=400, tiny=False):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, optax.global_norm(grads)
 
-    remat_used = cfg.remat_policy if try_dots else \
+    remat_used = cfg.remat_policy if (try_dots or remat) else \
         "full(dots-skipped: measured 18.67G wall at 224p9f, r5)"
 
     def mk():  # fwd_bwd closes over `model`, re-traced per attempt
         return jax.jit(fwd_bwd).lower(params, batch,
                                       jax.random.PRNGKey(0)).compile()
+
+    if remat is not None:
+        # pinned policy: compile as-is, no fallback (A/B measurement phase)
+        step = _compile_with_retry(mk, retries=1, sleep_s=45.0)
+        return step, params, batch, remat_used, _plan_mem_gb(step)
 
     if not try_dots:
         # retries=3/45s: a helper crash wedges the relay for ~a minute
@@ -224,6 +234,56 @@ def train_step_metric():
     if mem is not None:
         out["train_peak_mem_gb"] = mem
     return out
+
+
+def train_dots_ab_metric():
+    """dots-vs-full remat A/B at 6x160x288x9f — the largest flagship-depth
+    shape where the dots plan executes on one 16 GB chip (r5 wall ladder:
+    dots hits 12.96 GB already at 224x400x5f). Measured r5 (this phase on
+    the v5e): dots 0.630 s (plan 20.06 GB) vs full 0.666 s (plan 11.39 GB),
+    speedup 1.056 — far below the 4/3.1 FLOPs-billing arithmetic
+    (~29%), because at this token count (3.2k) the step is dominated by
+    HBM-bound elementwise/norm traffic that remat re-runs either way; the
+    billing argument only pays off at token counts that exceed single-chip
+    HBM under dots. Evidence that `dots` EXECUTES on silicon with finite
+    loss/grads, completing the policy's story: single-chip it never beats
+    full remat at a useful shape — it is the multi-chip policy (and the
+    compiled sharded plans in docs/SCALING.md bound where it fits)."""
+    import gc
+
+    import jax
+
+    res = {}
+    times = {}
+    # full first (11 GB plan, known-fits) so a dots OOM — the 19.6 GB dots
+    # plan is borderline on this chip and failed once when a lingering
+    # process still held HBM — can't erase the whole A/B
+    for policy in ("full", "dots"):
+        try:
+            step, params, batch, _used, plan = build_train_step(
+                num_frames=9, height=160, width=288, remat=policy)
+            loss, _gn = step(params, batch, jax.random.PRNGKey(0))
+            _ = float(loss)
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                loss, _gn = step(params, batch, jax.random.PRNGKey(i + 1))
+                _ = float(loss)
+                ts.append(time.perf_counter() - t0)
+            times[policy] = float(np.median(ts))
+            res[f"train160_{policy}_step_s"] = round(times[policy], 3)
+            res[f"train160_{policy}_plan_gb"] = plan
+        except Exception as e:
+            res[f"train160_{policy}_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            # drop the compiled program + device buffers before the next
+            # policy compiles its (larger) plan into the same HBM arena
+            step = params = batch = loss = _gn = None
+            gc.collect()
+    if "dots" in times and "full" in times:
+        res["train160_dots_speedup"] = round(times["full"] / times["dots"], 3)
+    res["train160_shape"] = "6x160x288x9f bs=1 fwd+bwd dots-vs-full A/B"
+    return res
 
 
 def train424_metric():
@@ -854,6 +914,15 @@ def main():
             lg = _last_good_train()
             if lg:
                 extras["train_last_good"] = lg
+    if on_tpu and os.environ.get("MDV2_BENCH_DOTS_AB", "1") != "0":
+        # dots-vs-full A/B at the shape where dots executes (cache-resident
+        # programs: re-measures in seconds after the r5 compiles)
+        try:
+            import gc
+            gc.collect()
+            extras.update(train_dots_ab_metric())
+        except Exception as e:
+            extras["train160_error"] = f"{type(e).__name__}: {e}"[:200]
     if on_tpu and os.environ.get("MDV2_BENCH_848", "1") != "0":
         try:
             import gc
