@@ -43,7 +43,14 @@ def main():
                     help="depth-2 narrow smoke (validates the tool quickly)")
     ap.add_argument("--chunk-attn", action="store_true", default=True,
                     help="MDV2_TRAIN_CHUNK_ATTN=1 like the single-chip bench")
+    ap.add_argument("--infer", action="store_true",
+                    help="forward-only (rflow-slice leg) instead of the train "
+                         "step: the single-chip 424p full-length pass measured "
+                         "a 22.61 GB XLA wall (r5); this compiles the sp-"
+                         "sharded plan that covers it (dp is forced to 1)")
     args = ap.parse_args()
+    if args.infer:
+        args.dp = 1
 
     if args.chunk_attn:
         os.environ["MDV2_TRAIN_CHUNK_ATTN"] = "1"
@@ -88,7 +95,8 @@ def main():
     batch = synthetic_batch(cfg, num_frames=nf, height=h, width=w, l_txt=60,
                             b=b, map_size=(8, 80, 80) if args.tiny
                             else (8, 400, 400))
-    batch.pop("height"), batch.pop("width"), batch.pop("timestep")
+    batch.pop("height"), batch.pop("width")
+    tstep = batch.pop("timestep")
 
     with use_mesh(mesh):
         params = _fast_init(model, {**batch, "timestep": jnp.full((b,), 500.0),
@@ -107,6 +115,38 @@ def main():
             return jax.device_put(a, NamedSharding(mesh, P()))
 
         batch = jax.tree_util.tree_map(put, batch)
+
+        if args.infer:
+            # forward-only rflow-slice leg: one model apply per step, b=dp=1
+            # (6 views folded into NC); params replicate over sp, activations
+            # shard on the S axis via the model's GSPMD hints
+            tstep_d = jax.device_put(tstep, NamedSharding(mesh, P()))
+
+            def fwd(params, batch, t):
+                return model.apply(params, batch["x"], t, batch["y"],
+                                   batch["maps"], batch["bbox"], batch["cams"],
+                                   batch["rel_pos"], batch["fps"],
+                                   height=float(h), width=float(w))
+
+            t0 = time.time()
+            compiled = jax.jit(fwd).lower(params, batch, tstep_d).compile()
+            dt = time.time() - t0
+            ma = compiled.memory_analysis()
+            gb = 2.0 ** 30
+            res = dict(
+                shape=f"{b}x{cfg.nc}view {h}x{w}x{nf}f fwd-only dp=1 "
+                      f"sp={args.sp}",
+                backend=jax.default_backend(), compile_s=round(dt, 1),
+                per_device_args_gb=round(ma.argument_size_in_bytes / gb, 2),
+                per_device_temp_gb=round(ma.temp_size_in_bytes / gb, 2),
+                per_device_out_gb=round(ma.output_size_in_bytes / gb, 2),
+                per_device_alias_gb=round(ma.alias_size_in_bytes / gb, 2),
+                per_device_plan_gb=round(
+                    (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                     - ma.alias_size_in_bytes + ma.temp_size_in_bytes) / gb, 2))
+            print("PLAN " + json.dumps(res), flush=True)
+            return
+
         scheduler = RFLOW(num_timesteps=1000, use_timestep_transform=True,
                           cog_style_trans=True)
 
