@@ -246,9 +246,10 @@ def train_dots_ab_metric():
     HBM-bound elementwise/norm traffic that remat re-runs either way; the
     billing argument only pays off at token counts that exceed single-chip
     HBM under dots. Evidence that `dots` EXECUTES on silicon with finite
-    loss/grads, completing the policy's story: single-chip it never beats
-    full remat at a useful shape — it is the multi-chip policy (and the
-    compiled sharded plans in docs/SCALING.md bound where it fits)."""
+    loss/grads, completing the policy's story: single-chip it buys <10% at
+    the only shapes that fit, and the compiled sharded plans (docs/
+    SCALING.md) show GSPMD replicates its saved buffers across sp — so
+    `full` remat is the production policy at every scale."""
     import gc
 
     import jax
