@@ -565,15 +565,33 @@ class VideoAutoencoderKLCogVideoX:
         chip's HBM just like tiled_decode bounds the decoder."""
         params = params if params is not None else self.params
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        if self.tiling and (
-                x.shape[3] > self.tiling.get("tile_sample_min_height", 240) or
-                x.shape[4] > self.tiling.get("tile_sample_min_width", 360)):
-            moments = self.tiled_encode_moments(x, params=params, **self.tiling)
-        else:
-            moments = self.encode_moments_seq(x, params=params)
+        moments = self._encode_micro_batched(x, params)
         dist = DiagonalGaussian(moments, axis=1)
         z = dist.sample(rng) if sample else dist.mode()
         return z * self.scaling_factor
+
+    def _encode_micro_batched(self, x: jnp.ndarray, params) -> jnp.ndarray:
+        """Moments for x, chunking the (B*NC) batch axis by `micro_batch_size`
+        (the reference wrapper's micro_batch loop, vae_cogvideox.py:1355-1371)
+        so each device program holds only `micro_batch_size` views of encoder
+        activations. Chunking happens in moments space and the caller draws ONE
+        posterior sample over the stitched moments, so chunked == unchunked
+        up to XLA accumulation order. Skipped under trace: inside jit (sp_vae's batch-scatter)
+        a host loop would serialize into one program instead of bounding it."""
+        mbs = self.micro_batch_size
+        if (mbs is None or isinstance(x, jax.core.Tracer)
+                or x.shape[0] <= mbs):
+            return self._encode_moments_dispatch(x, params)
+        chunks = [self._encode_moments_dispatch(x[i:i + mbs], params)
+                  for i in range(0, x.shape[0], mbs)]
+        return jnp.concatenate(chunks, axis=0)
+
+    def _encode_moments_dispatch(self, x: jnp.ndarray, params) -> jnp.ndarray:
+        if self.tiling and (
+                x.shape[3] > self.tiling.get("tile_sample_min_height", 240) or
+                x.shape[4] > self.tiling.get("tile_sample_min_width", 360)):
+            return self.tiled_encode_moments(x, params=params, **self.tiling)
+        return self.encode_moments_seq(x, params=params)
 
     def tiled_encode_moments(self, x: jnp.ndarray, params=None,
                              tile_sample_min_height: int = 240,
@@ -641,8 +659,27 @@ class VideoAutoencoderKLCogVideoX:
         `_decode` (vae_cogvideox.py:1147-1165): latent frames stream through the
         decoder 2 at a time (first chunk takes the T'%2 remainder) with
         causal-conv caches carried, bounding decoder activations to one chunk.
-        `frame_batching=False` forces the single full-sequence call."""
+        `frame_batching=False` forces the single full-sequence call.
+
+        When `micro_batch_size` is set the (B*NC) batch axis is decoded in
+        chunks of that many views (reference wrapper micro_batch chunking,
+        vae_cogvideox.py:1355-1371): decode is per-sample independent so
+        chunked == unchunked (up to XLA accumulation order), and each
+        device program holds only one
+        chunk's decoder activations (measured on the v5e: the 6-view program
+        plans 85.5 GB at 424p / 24.1 GB tiled at 848p — per-view chunks fit a
+        16 GB chip; see docs/PERF.md). Skipped under trace so sp_vae's
+        batch-scattered pod decode is untouched."""
         params = params if params is not None else self.params
+        mbs = self.micro_batch_size
+        if (mbs is not None and not isinstance(z, jax.core.Tracer)
+                and z.shape[0] > mbs):
+            chunks = [self._decode_dispatch(z[i:i + mbs], params, frame_batching)
+                      for i in range(0, z.shape[0], mbs)]
+            return jnp.concatenate(chunks, axis=0)
+        return self._decode_dispatch(z, params, frame_batching)
+
+    def _decode_dispatch(self, z, params, frame_batching: bool):
         if self.tiling:
             return self.tiled_decode(z, params=params,
                                      frame_batching=frame_batching, **self.tiling)

@@ -141,3 +141,34 @@ def test_tiled_decode_matches_full(rng):
     assert np.isfinite(t).all()
     corr = np.corrcoef(t.reshape(-1), f.reshape(-1))[0, 1]
     assert corr > 0.5, corr
+
+
+def test_micro_batch_chunking_is_exact(rng):
+    """micro_batch_size chunks the (B*NC) batch axis through encode/decode
+    (reference wrapper micro_batch loop, vae_cogvideox.py:1355-1371). Decode is
+    per-sample independent and encode chunks in moments space before ONE
+    posterior draw, so chunked == unchunked up to XLA accumulation order (the
+    batch-1 and batch-3 programs compile separately); under trace (sp_vae's
+    batch-scattered jit) chunking is skipped so the pod path is one program."""
+    cfg = CogVAEConfig(block_out_channels=(8, 8, 8, 16), latent_channels=4,
+                       layers_per_block=1, norm_num_groups=4)
+    ref = VideoAutoencoderKLCogVideoX(cfg, micro_frame_size=8)
+    params = ref.init(jax.random.PRNGKey(0), (1, 3, 1, 16, 16))
+    chunked = VideoAutoencoderKLCogVideoX(cfg, micro_frame_size=8,
+                                          micro_batch_size=1)
+    chunked.params = params
+    x = jax.random.normal(rng, (3, 3, 9, 32, 32))
+    key = jax.random.PRNGKey(7)
+    z_ref = ref.encode(x, rng=key)
+    z_chk = chunked.encode(x, rng=key)
+    np.testing.assert_allclose(np.asarray(z_ref), np.asarray(z_chk),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.decode(z_ref)),
+                               np.asarray(chunked.decode(z_ref)),
+                               rtol=2e-5, atol=2e-5)
+    # under trace the chunk loop must not fire (one program on pods)
+    traced_calls = []
+    orig = chunked._decode_dispatch
+    chunked._decode_dispatch = lambda *a: traced_calls.append(1) or orig(*a)
+    jax.jit(lambda zz: chunked.decode(zz))(z_ref)
+    assert len(traced_calls) == 1
